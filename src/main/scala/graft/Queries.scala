@@ -1,0 +1,172 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver-gate query registry: every implemented operator from SURVEY.md §2
+  * gets an entry here plus (where SQL-expressible) a DuckDB oracle in
+  * [[Oracles]]. Column names are aliased identically on both sides; double
+  * aggregates are rounded so binary-fp association-order differences between
+  * engines cannot flip the driver's value hash.
+  */
+object Queries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Relational core (SURVEY §2.3/§2.4: scans, aggs, joins, windows). */
+  val relational: Map[String, Q] = Map(
+    // A5/A7-style pricing summary: grouped agg with partial (map-side) combine.
+    "q1_agg" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+    },
+
+    // Multi-way shuffle join + top-k; small side broadcast by Catalyst/AQE.
+    "q3_join_topk" -> { (s, dir) =>
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+      val l = Tables.lineitem(s, dir)
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(l, o("o_orderkey") === l("l_orderkey"))
+        .groupBy(l("l_orderkey"))
+        .agg(round(sum(l("l_extendedprice") * (lit(1) - l("l_discount"))), 2).as("revenue"))
+        .orderBy(desc("revenue"), col("l_orderkey"))
+        .limit(10)
+    },
+
+    // Broadcast dimension join chain (SURVEY J3 hydration shape).
+    "q_broadcast_join" -> { (s, dir) =>
+      val su = Tables.supplier(s, dir)
+      val n = Tables.nation(s, dir)
+      val r = Tables.region(s, dir)
+      su.join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_suppliers"),
+             round(avg(col("s_acctbal")), 2).as("avg_acctbal"))
+    },
+
+    // Left-semi join (EXISTS) — SURVEY S8 cache-probe shape.
+    "q_semi_join" -> { (s, dir) =>
+      val o = Tables.orders(s, dir)
+      val l = Tables.lineitem(s, dir).filter(col("l_quantity") > 45)
+      o.join(l, o("o_orderkey") === l("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"))
+    },
+
+    // Left-anti join (NOT EXISTS) — SURVEY J1: the idempotent-resume primitive.
+    "q_anti_join_resume" -> { (s, dir) =>
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .agg(count(lit(1)).as("n_customers_no_orders"),
+             round(sum(col("c_acctbal")), 2).as("sum_acctbal"))
+    },
+
+    // row_number window — SURVEY J3/J5 first-hit dedup primitive.
+    "q_window_firsthit" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("l_orderkey"))
+        .orderBy(col("l_shipdate"), col("l_linenumber"))
+      Tables.lineitem(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_first"),
+             round(sum(col("l_quantity")), 2).as("qty_first"))
+    },
+
+    // groupBy().count() — SURVEY A7.
+    "q_groupcount" -> { (s, dir) =>
+      Tables.events(s, dir).groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+    },
+
+    // orderBy + limit top-k — SURVEY A4.
+    "q_topk" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), round(col("value"), 4).as("value"))
+        .orderBy(desc("value"), col("event_id")).limit(20)
+    },
+
+    // distinct + sort — SURVEY A1.
+    "q_distinct_sort" -> { (s, dir) =>
+      Tables.part(s, dir).select(col("p_type")).distinct().orderBy(col("p_type"))
+    },
+
+    // union + distinct — SURVEY A8 (dictionary union).
+    "q_union_distinct" -> { (s, dir) =>
+      val a = Tables.part(s, dir).select(col("p_brand").as("name"))
+      val b = Tables.supplier(s, dir).select(col("s_name").as("name"))
+      a.union(b).distinct().agg(count(lit(1)).as("n_names"))
+    }
+  )
+
+  def all: Map[String, Q] = relational
+
+  /** DuckDB-equivalent SQL per query (same parquet tables, same col names). */
+  val oracles: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+         round(sum(l_quantity), 2) AS sum_qty,
+         round(sum(l_extendedprice), 2) AS sum_base_price,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+         count(*) AS count_order
+         FROM lineitem
+         WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+         GROUP BY l_returnflag, l_linestatus""",
+    "q3_join_topk" ->
+      """SELECT l_orderkey,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         FROM customer
+         JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON o_orderkey = l_orderkey
+         GROUP BY l_orderkey
+         ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+    "q_broadcast_join" ->
+      """SELECT r_name, n_name, count(*) AS n_suppliers,
+         round(avg(s_acctbal), 2) AS avg_acctbal
+         FROM supplier
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name, n_name""",
+    "q_semi_join" ->
+      """SELECT o_orderstatus, count(*) AS n_orders
+         FROM orders
+         WHERE EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+         GROUP BY o_orderstatus""",
+    "q_anti_join_resume" ->
+      """SELECT count(*) AS n_customers_no_orders,
+         round(sum(c_acctbal), 2) AS sum_acctbal
+         FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+    "q_window_firsthit" ->
+      """SELECT l_returnflag, count(*) AS n_first,
+         round(sum(l_quantity), 2) AS qty_first
+         FROM (SELECT *, row_number() OVER
+                 (PARTITION BY l_orderkey ORDER BY l_shipdate, l_linenumber) AS rn
+               FROM lineitem)
+         WHERE rn = 1 GROUP BY l_returnflag""",
+    "q_groupcount" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+         FROM events GROUP BY event_type""",
+    "q_topk" ->
+      """SELECT event_id, user_id, round(value, 4) AS value
+         FROM events ORDER BY value DESC, event_id LIMIT 20""",
+    "q_distinct_sort" ->
+      "SELECT DISTINCT p_type FROM part ORDER BY p_type",
+    "q_union_distinct" ->
+      """SELECT count(*) AS n_names FROM (
+           SELECT DISTINCT name FROM (
+             SELECT p_brand AS name FROM part
+             UNION ALL SELECT s_name AS name FROM supplier))"""
+  )
+}
