@@ -1,0 +1,192 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.kg._
+
+/** Driver-gate queries for the KG-construction operators (SURVEY.md §2),
+  * expressed over the synthetic `documents` corpus so each has a DuckDB
+  * oracle. The full-fidelity pipeline (reference fixtures, golden triplets,
+  * hydration, RDF) is exercised by the ScalaTest suites; these queries prove
+  * the same operators on driver-checkable data.
+  */
+object KgQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Small scan dictionary drawn from the synthetic corpus vocabulary. */
+  val LocTerms: Seq[String] = Seq("spark", "table", "window", "stream")
+  val EntTerms: Seq[String] = Seq("join", "merge", "hash", "scan", "filter")
+
+  private def mentionsDf(s: SparkSession, dir: String, terms: Seq[String]): DataFrame = {
+    val termsArr = terms.toArray
+    val docs = Tables.documents(s, dir)
+    import s.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val scanner = MentionScanner(termsArr, ignoreCase = false)
+        it.flatMap { case (id, text) =>
+          scanner.findAll(text).map(m => (id, m.word))
+        }
+      }.toDF("doc_id", "term")
+  }
+
+  private def sqlList(terms: Seq[String]): String =
+    terms.map(t => s"('$t')").mkString(", ")
+
+  val queries: Map[String, Q] = Map(
+    // P11 + §7.2-1: page synthesis + the byte-identical extract invariant.
+    // extracted_hash is computed by running extract(render(text)) — it can
+    // only equal DuckDB's sha256(text) if the html→text roundtrip is exact.
+    "kg_pages" -> { (s, dir) =>
+      val extractHash = udf((html: Array[Byte]) =>
+        Inference.FixtureClient.sha256(HtmlText.extract(html)))
+      Pages.fromDocuments(s, dir)
+        .select(col("url"), extractHash(col("html")).as("hashed_text"), col("lang"))
+    },
+
+    // P1: dictionary mention scan (Aho-Corasick vs per-term regex oracle).
+    "kg_mentions" -> { (s, dir) =>
+      mentionsDf(s, dir, LocTerms ++ EntTerms)
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("n"))
+    },
+
+    // B3-lite + P4/P5 shape: deterministic co-occurrence triple rule —
+    // (location term, 'co_occurs_with', entity term) per doc where both
+    // occur whole-word.
+    "kg_triples" -> { (s, dir) =>
+      val locs = mentionsDf(s, dir, LocTerms).select(col("doc_id"), col("term").as("subj")).distinct()
+      val ents = mentionsDf(s, dir, EntTerms).select(col("doc_id"), col("term").as("obj")).distinct()
+      locs.join(ents, "doc_id")
+        .select(col("doc_id"), col("subj"), lit("co_occurs_with").as("predicate"), col("obj"))
+    },
+
+    // J2: normalized-alias alignment join (broadcast).
+    "kg_align" -> { (s, dir) =>
+      import s.implicits._
+      // surface-form variants of corpus terms: original, Title-case, dotted
+      val ents = mentionsDf(s, dir, EntTerms).distinct()
+        .withColumn("surface", explode(array(col("term"), initcap(col("term")),
+          concat(col("term"), lit(".")))))
+      val alias = EntTerms.map(t => (t, s"canon_$t")).toDF("alias", "canonical")
+      ents.join(broadcast(alias),
+          Linker.normName(col("surface")) === Linker.normName(col("alias")), "left")
+        .select(col("doc_id"), col("surface"),
+          coalesce(col("canonical"), col("surface")).as("obj_canonical"))
+    },
+
+    // CC canonicalization: cluster surface variants, canonical = lexical min
+    // of the cluster. Spark runs the real iterative connected-components;
+    // the oracle computes the same clusters via the normalized key (exactly
+    // equal at this scale because the edge set is the normalization star).
+    "kg_canonical" -> { (s, dir) =>
+      val variants = mentionsDf(s, dir, EntTerms)
+        .select(col("term")).distinct()
+        .withColumn("name", explode(array(col("term"), initcap(col("term")),
+          concat(col("term"), lit(".")))))
+        .withColumn("obj_kind", lit("strat"))
+        .withColumn("obj_name", col("name"))
+        .withColumn("obj_canonical", col("name"))
+        .withColumn("obj_linked", lit(false))
+      Canonicalizer.canonicalize(variants.select("obj_kind", "obj_name", "obj_canonical", "obj_linked"))
+        .select(col("name"), col("canonical_name"))
+    },
+
+    // J3: hydration join with first-hit dedup (row_number over priority).
+    "kg_hydrate" -> { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val dim = Seq(
+        ("join", 1L, "op"), ("join", 7L, "dup-op"), ("merge", 2L, "op"),
+        ("hash", 3L, "fn"), ("scan", 4L, "op"), ("filter", 5L, "op"))
+        .toDF("name", "dim_id", "category")
+      val w = Window.partitionBy(col("name")).orderBy(col("dim_id"))
+      val firstHit = dim.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn")
+      mentionsDf(s, dir, EntTerms).groupBy("doc_id", "term")
+        .agg(count(lit(1)).as("n"))
+        .join(broadcast(firstHit), col("term") === col("name"), "left")
+        .select(col("doc_id"), col("term"), col("n"), col("dim_id"), col("category"))
+    },
+
+    // G2/P6: entity-name formatting to URI-safe node ids.
+    "kg_entity_uri" -> { (s, dir) =>
+      val entityUri = udf((t: String) => Rdf.MSL + EntityNames.entityName(t))
+      mentionsDf(s, dir, EntTerms).select(col("term")).distinct()
+        .select(col("term"), entityUri(col("term")).as("uri"))
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "kg_pages" ->
+      """SELECT 'https://synthetic.graft/doc/' || doc_id AS url,
+         sha256(text) AS hashed_text, lang FROM documents""",
+    "kg_mentions" ->
+      s"""SELECT doc_id, term, n FROM (
+          SELECT doc_id, term,
+            len(regexp_extract_all(text, '\\b' || term || '\\b')) AS n
+          FROM documents CROSS JOIN (VALUES ${sqlList(LocTerms ++ EntTerms)}) t(term))
+          WHERE n > 0""",
+    "kg_triples" ->
+      s"""WITH locs AS (
+            SELECT DISTINCT doc_id, term AS subj FROM documents
+            CROSS JOIN (VALUES ${sqlList(LocTerms)}) t(term)
+            WHERE regexp_matches(text, '\\b' || term || '\\b')),
+          ents AS (
+            SELECT DISTINCT doc_id, term AS obj FROM documents
+            CROSS JOIN (VALUES ${sqlList(EntTerms)}) t(term)
+            WHERE regexp_matches(text, '\\b' || term || '\\b'))
+          SELECT locs.doc_id, subj, 'co_occurs_with' AS predicate, obj
+          FROM locs JOIN ents ON locs.doc_id = ents.doc_id""",
+    "kg_align" ->
+      s"""WITH ents AS (
+            SELECT DISTINCT doc_id, term FROM documents
+            CROSS JOIN (VALUES ${sqlList(EntTerms)}) t(term)
+            WHERE regexp_matches(text, '\\b' || term || '\\b')),
+          surfaces AS (
+            SELECT doc_id, unnest([term, upper(term[1]) || term[2:], term || '.']) AS surface
+            FROM ents),
+          alias AS (SELECT alias, 'canon_' || alias AS canonical
+                    FROM (VALUES ${sqlList(EntTerms)}) a(alias))
+          SELECT doc_id, surface,
+            coalesce(canonical, surface) AS obj_canonical
+          FROM surfaces LEFT JOIN alias
+            ON regexp_replace(regexp_replace(lower(trim(surface)), '\\.+$$', ''), '\\s+', ' ', 'g')
+             = regexp_replace(regexp_replace(lower(trim(alias)), '\\.+$$', ''), '\\s+', ' ', 'g')""",
+    "kg_canonical" ->
+      s"""WITH terms AS (
+            SELECT DISTINCT term FROM documents
+            CROSS JOIN (VALUES ${sqlList(EntTerms)}) t(term)
+            WHERE regexp_matches(text, '\\b' || term || '\\b')),
+          variants AS (
+            SELECT unnest([term, upper(term[1]) || term[2:], term || '.']) AS name
+            FROM terms),
+          keyed AS (
+            SELECT name,
+              regexp_replace(regexp_replace(lower(trim(name)), '\\.+$$', ''), '\\s+', ' ', 'g') AS norm
+            FROM variants)
+          SELECT name, min(name) OVER (PARTITION BY norm) AS canonical_name
+          FROM keyed""",
+    "kg_hydrate" ->
+      s"""WITH m AS (
+            SELECT doc_id, term,
+              len(regexp_extract_all(text, '\\b' || term || '\\b')) AS n
+            FROM documents CROSS JOIN (VALUES ${sqlList(EntTerms)}) t(term)),
+          dim AS (
+            SELECT name, dim_id, category FROM (
+              SELECT name, dim_id, category,
+                row_number() OVER (PARTITION BY name ORDER BY dim_id) AS rn
+              FROM (VALUES ('join', 1, 'op'), ('join', 7, 'dup-op'),
+                ('merge', 2, 'op'), ('hash', 3, 'fn'), ('scan', 4, 'op'),
+                ('filter', 5, 'op')) d(name, dim_id, category))
+            WHERE rn = 1)
+          SELECT doc_id, term, n, dim_id, category
+          FROM (SELECT * FROM m WHERE n > 0) m
+          LEFT JOIN dim ON m.term = dim.name""",
+    "kg_entity_uri" ->
+      s"""SELECT DISTINCT term,
+          'https://macrostrat.org/lexicon/' || upper(term[1]) || term[2:] AS uri
+          FROM documents CROSS JOIN (VALUES ${sqlList(EntTerms)}) t(term)
+          WHERE regexp_matches(text, '\\b' || term || '\\b')"""
+  )
+}

@@ -109,7 +109,9 @@ object Queries {
     }
   )
 
-  def all: Map[String, Q] = relational
+  def all: Map[String, Q] = relational ++ KgQueries.queries
+
+  def allOracles: Map[String, String] = oracles ++ KgQueries.oracles
 
   /** DuckDB-equivalent SQL per query (same parquet tables, same col names). */
   val oracles: Map[String, String] = Map(

@@ -1,0 +1,111 @@
+package graft.kg
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Enrichment ("hydration") joins (SURVEY.md J3).
+  *
+  * The reference hydrates per-triplet with async HTTP fan-out — geocode for
+  * the subject Location, Macrostrat record lookup for the object
+  * (reference: text2graph/schema.py:133-156, 339-376, 402-414,441-447) —
+  * rate-limited to ~1 request / 1.5 s. Spark-side every probe becomes a
+  * broadcast left join against the snapshot dims: null-keeping on miss (the
+  * reference keeps the unhydrated entity, schema.py:142-144), first-hit
+  * ordering pinned by row_number over the dim id (the reference takes
+  * hit[0] of the API response, schema.py:141 — order-dependence we make
+  * deterministic, SURVEY §7.4).
+  *
+  * The USGS-exclusive mineral fallback (schema.py:361-372) becomes a
+  * coalesce with a literal formula map, and formula → element extraction
+  * (P7) runs as a deterministic UDF over the joined formula.
+  */
+object Hydrator {
+
+  /** Dedupe a dim on its normalized join key, first-hit by priority id. */
+  private def firstHit(dim: DataFrame, key: String, prio: String): DataFrame = {
+    val w = Window.partitionBy(col("join_norm")).orderBy(col(prio), col(key))
+    dim.withColumn("join_norm", Linker.normName(col(key)))
+      .withColumn("fh_rn", row_number().over(w))
+      .filter(col("fh_rn") === 1)
+      .drop("fh_rn")
+  }
+
+  private val elementsUdf = udf((formula: String) =>
+    if (formula == null) null else Chem.toElements(formula))
+
+  /** Hydrate canonicalized triples with strat, mineral, USGS-fallback and
+    * gazetteer fields. Input needs: subj_name, predicate, obj_kind,
+    * obj_final. Output adds nullable dim columns + subj_lat/subj_lon +
+    * elements + requested_at provenance timestamp. */
+  def hydrate(triples: DataFrame, dims: Dims.Snapshot,
+              jobStart: java.sql.Timestamp): DataFrame = {
+    val spark = triples.sparkSession
+    import spark.implicits._
+
+    // Strat lookup: exact=False in the reference (substring-ish REST
+    // semantics, schema.py:133-141) — normalized equality against both the
+    // short and the long name (a canonicalized "Shakopee Formation" must
+    // land on the same record as "Shakopee"), first-hit by strat_name_id.
+    val stratFields = dims.stratDim.select("strat_name", "strat_name_long",
+      "rank", "strat_name_id", "concept_id", "bed", "mbr", "fm", "gp", "sgp",
+      "b_age", "t_age", "b_period", "t_period", "c_interval", "t_units",
+      "ref_id", "macrostrat_version")
+    val stratKeyed = firstHit(
+      stratFields.withColumn("strat_key", col("strat_name"))
+        .unionByName(stratFields.withColumn("strat_key", col("strat_name_long"))),
+      "strat_key", "strat_name_id")
+      .drop("strat_key")
+
+    val mineralKeyed = firstHit(
+      dims.mineralDim.select("mineral", "mineral_id", "mineral_type",
+        "formula", "url", "macrostrat_version"),
+      "mineral", "mineral_id")
+      .withColumnRenamed("url", "mineral_url")
+
+    val usgs = Chem.UsgsFormulas.toSeq.sorted
+      .toDF("usgs_name", "usgs_formula")
+      .withColumn("join_norm", Linker.normName(col("usgs_name")))
+
+    val gaz = firstHit(
+      dims.gazetteerDim.select(col("name").as("gaz_name"), col("lat"), col("lon")),
+      "gaz_name", "gaz_name")
+
+    val withStrat = triples
+      .withColumn("obj_join", Linker.normName(col("obj_final")))
+      .join(broadcast(stratKeyed.withColumnRenamed("join_norm", "strat_join")),
+        col("obj_kind") === Model.ObjKind.Strat && col("obj_join") === col("strat_join"),
+        "left")
+      .drop("strat_join")
+
+    val withMineral = withStrat
+      .join(broadcast(mineralKeyed.withColumnRenamed("join_norm", "min_join")),
+        col("obj_kind") === Model.ObjKind.Mineral && col("obj_join") === col("min_join"),
+        "left")
+      .drop("min_join")
+      // USGS fallback fires only when Macrostrat missed (schema.py:358-366)
+      .join(broadcast(usgs.withColumnRenamed("join_norm", "usgs_join")),
+        col("obj_kind") === Model.ObjKind.Mineral && col("mineral").isNull &&
+          col("obj_join") === col("usgs_join"),
+        "left")
+      .drop("usgs_join", "usgs_name")
+      .withColumn("formula", coalesce(col("formula"), col("usgs_formula")))
+      .withColumn("formula_source",
+        when(col("mineral").isNotNull, lit("Macrostrat"))
+          .when(col("usgs_formula").isNotNull, lit("Mindat"))
+          .otherwise(lit(null).cast("string")))
+      .drop("usgs_formula")
+      .withColumn("elements", elementsUdf(col("formula")))
+
+    val hydrated = withMineral
+      .withColumn("subj_join", Linker.normName(col("subj_name")))
+      .join(broadcast(gaz.withColumnRenamed("join_norm", "gaz_join")),
+        col("subj_join") === col("gaz_join"), "left")
+      .drop("gaz_join", "gaz_name", "subj_join", "obj_join")
+      .withColumnRenamed("lat", "subj_lat")
+      .withColumnRenamed("lon", "subj_lon")
+      .withColumn("requested_at", lit(jobStart))
+
+    hydrated
+  }
+}

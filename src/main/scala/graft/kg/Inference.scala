@@ -1,0 +1,161 @@
+package graft.kg
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The batched model-inference stage (SURVEY.md B2/B3/B5).
+  *
+  * The reference runs vLLM `llm.generate(prompts)` over mini-batches of 200
+  * paragraphs per call inside each HTCondor job
+  * (reference: chtc/preprocess_extraction_direct.py:86-146). Spark-side this
+  * becomes a `mapPartitions` stage: each task drains its partition iterator
+  * in micro-batches of `microBatch` rows into an [[InferenceClient]], the
+  * single genuinely imperative boundary in the whole plan (everything before
+  * and after is declarative DataFrame code).
+  *
+  * Clients are executor-singletons — constructed lazily once per JVM and
+  * shared by all tasks (reference: chtc/preprocess_extraction_direct.py:44-66
+  * loads vLLM/Weaviate once per process), so at 1000 executors there are
+  * 1000 client instances, not one per task.
+  *
+  * Determinism: all shipped clients are pure functions of the page text, so
+  * the stage is retry-safe (a re-executed task emits identical rows) — the
+  * property that makes checkpoint/resume exactly-once (SURVEY.md §7.4).
+  */
+object Inference {
+
+  final case class Request(url: String, hashed_text: String, text: String, lang: String)
+
+  trait InferenceClient extends Serializable {
+    def modelId: String
+    /** One raw JSON string per request, same order. */
+    def infer(batch: Seq[Request]): Seq[String]
+  }
+
+  /** Deterministic rule-based extractor standing in for the LLM on bulk
+    * synthetic pages. Mirrors the *shape* of the reference's extraction
+    * (location/relationship/entity triplets keyed per the prompt handler,
+    * reference: text2graph/prompt.py:54-138): dictionary-scan the text for
+    * location and entity mentions, pair each entity with the nearest
+    * preceding location, take the predicate from a fixed relationship
+    * lexicon if one occurs between them, else "mentions".
+    */
+  final class HeuristicClient(
+      stratTerms: Array[String],
+      locationTerms: Array[String],
+      mineralTerms: Array[String]) extends InferenceClient {
+
+    val modelId = "graft-heuristic-v1"
+
+    private val Predicates = Array("unconformable contact", "includes",
+      "contains", "overlies", "underlies", "is found near", "is found in",
+      "may be a correlative conformity", "is equivalent to")
+
+    @transient private lazy val stratScanner = MentionScanner(stratTerms, ignoreCase = false)
+    @transient private lazy val locScanner = MentionScanner(locationTerms, ignoreCase = false)
+    @transient private lazy val mineralScanner = MentionScanner(mineralTerms, ignoreCase = true)
+    @transient private lazy val predScanner = MentionScanner(Predicates, ignoreCase = true)
+
+    // Sanitize rather than escape: the downstream cleanup stage strips all
+    // backslashes before parsing (faithful to the reference's vllm cleanup,
+    // chtc/preprocess_extraction_direct.py:173-175), so escape sequences
+    // would not survive it. Dictionary terms never contain these chars.
+    private def jsonEscape(s: String): String =
+      s.map {
+        case '"' => '\''
+        case '\\' => '/'
+        case c if c < ' ' => ' '
+        case c => c
+      }
+
+    def extractOne(text: String): String = {
+      val locs = locScanner.findAll(text)
+      val strats = stratScanner.findAll(text)
+      val minerals = mineralScanner.findAll(text)
+      val preds = predScanner.findAll(text)
+
+      def nearestLoc(pos: Int): Option[Model.Mention] = {
+        val before = locs.filter(_.end <= pos)
+        if (before.nonEmpty) Some(before.last)
+        else locs.find(_.start >= pos)
+      }
+      def predBetween(a: Int, b: Int): String = {
+        val (lo, hi) = if (a < b) (a, b) else (b, a)
+        preds.find(p => p.start >= lo && p.end <= hi).map(_.word.toLowerCase)
+          .getOrElse("mentions")
+      }
+
+      val stratTriples = strats.flatMap { m =>
+        nearestLoc(m.start).map { l =>
+          (l.word, predBetween(l.end, m.start), m.word, "stratigraphic_name")
+        }
+      }
+      val mineralTriples = minerals.flatMap { m =>
+        nearestLoc(m.start).map { l =>
+          (l.word, predBetween(l.end, m.start), m.word.toLowerCase, "mineral_name")
+        }
+      }
+      val items = (stratTriples ++ mineralTriples).distinct.map {
+        case (loc, pred, obj, key) =>
+          s"""{"location": "${jsonEscape(loc)}", "relationship": "${jsonEscape(pred)}", "$key": "${jsonEscape(obj)}"}"""
+      }
+      s"""{"triplets": [${items.mkString(", ")}]}"""
+    }
+
+    def infer(batch: Seq[Request]): Seq[String] = batch.map(r => extractOne(r.text))
+  }
+
+  /** Replays recorded outputs keyed by hashed_text, delegating misses —
+    * exactly the reference's hermetic-test pattern of injecting the
+    * `raw_llm_output` fixture (reference: tests/conftest.py:22-24,
+    * tests/test_llm.py:35-44). */
+  final class FixtureClient(
+      recorded: Map[String, String],
+      fallback: InferenceClient) extends InferenceClient {
+    val modelId = s"graft-fixture+${fallback.modelId}"
+    def infer(batch: Seq[Request]): Seq[String] =
+      batch.map { r =>
+        recorded.get(r.hashed_text) match {
+          case Some(raw) => raw
+          case None => fallback.infer(Seq(r)).head
+        }
+      }
+  }
+
+  object FixtureClient {
+    def sha256(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("SHA-256")
+      d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    /** Recorded-output map for the reference fixture pages. */
+    def referenceRecordings: Map[String, String] =
+      Fixtures.FixturePages.collect {
+        case (_, text, _, raw) if raw != null => sha256(text) -> raw
+      }.toMap
+  }
+
+  /** Default client: reference recordings over the heuristic extractor,
+    * with dictionaries drawn from the dimension snapshot rows. */
+  def defaultClient(stratNames: Array[String], locationNames: Array[String],
+                    mineralNames: Array[String]): InferenceClient =
+    new FixtureClient(FixtureClient.referenceRecordings,
+      new HeuristicClient(stratNames, locationNames, mineralNames))
+
+  /** The mapPartitions host. Input must carry (url, hashed_text, text, lang);
+    * output adds (raw, model_id). Micro-batch default follows the
+    * reference's chosen operating point of 200
+    * (reference: chtc/preprocess_extraction_direct.py:68; BASELINE.md). */
+  def run(pages: DataFrame, client: InferenceClient, microBatch: Int = 200): Dataset[Model.RawExtraction] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    pages.select("url", "hashed_text", "text", "lang").as[Request]
+      .mapPartitions { it =>
+        it.grouped(microBatch).flatMap { batch =>
+          val outs = client.infer(batch)
+          batch.iterator.zip(outs.iterator).map { case (r, raw) =>
+            Model.RawExtraction(r.url, r.hashed_text, r.lang, raw, client.modelId)
+          }
+        }
+      }
+  }
+}

@@ -1,0 +1,148 @@
+package graft.kg
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** End-to-end KG construction (BASELINE.json north_rule; SURVEY.md §3.3):
+  *
+  *   pages → repartition(hash(url)) → resume anti-join → html→text extract
+  *   → batched inference (mapPartitions) → lenient parse/explode
+  *   → alignment join (broadcast | salted) → connected-components
+  *   canonicalization → hydration joins → triples table
+  *   [+ RDF materialization] + per-partition lineage/metrics rows.
+  *
+  * Scale posture (designed for 10^12 pages / 1000 executors, tested at
+  * local[N]):
+  *  - one explicit url-hash repartition up front; every later stage either
+  *    preserves partitioning (narrow) or shuffles on aggregation keys,
+  *  - all enrichment joins broadcast dictionary-sized dims — zero shuffle
+  *    of the page-cardinality side,
+  *  - resume is a left_anti join against the checkpoint table (SURVEY J1):
+  *    re-running after failure processes only missing urls, and because
+  *    every stage is deterministic the union of runs equals one clean run,
+  *  - lineage/metrics are per-partition rows computed from
+  *    spark_partition_id() — no driver-side collections of data rows.
+  */
+object KgPipeline {
+
+  final case class Config(
+      numPartitions: Int = 32,
+      microBatch: Int = 200,
+      saltedAlign: Boolean = false,
+      saltBuckets: Int = 16,
+      canonicalize: Boolean = true,
+      emitRdf: Boolean = false,
+      checkpointDir: Option[String] = None,
+      jobStart: java.sql.Timestamp = java.sql.Timestamp.valueOf("2024-06-01 00:00:00"))
+
+  final case class Result(
+      triples: DataFrame,
+      lineage: DataFrame,
+      rdf: Option[Dataset[Model.RdfTriple]])
+
+  /** Columns of the output triples table (FIXTURES.md §5). */
+  val TripleColumns: Seq[String] = Seq(
+    "url", "hashed_text", "model_id", "subj_name", "subj_lat", "subj_lon",
+    "predicate", "obj_name", "obj_canonical", "obj_final", "obj_kind",
+    "obj_linked", "entity_cluster_id",
+    "strat_name", "strat_name_long", "rank", "strat_name_id", "concept_id",
+    "b_age", "t_age", "b_period", "t_period",
+    "mineral", "mineral_id", "mineral_type", "formula", "formula_source",
+    "elements", "requested_at")
+
+  private val extractUdf = udf((html: Array[Byte]) => HtmlText.extract(html))
+
+  def run(spark: SparkSession, pages0: DataFrame, dims: Dims.Snapshot,
+          client: Inference.InferenceClient, cfg: Config = Config()): Result = {
+
+    // B1: explicit url-hash partitioning — the unit of resume + lineage.
+    val partitioned = pages0.repartition(cfg.numPartitions, col("url"))
+
+    // J1: resume anti-join against previously committed urls.
+    val pages = cfg.checkpointDir match {
+      case Some(dir) if fsExists(spark, s"$dir/done") =>
+        val done = spark.read.parquet(s"$dir/done").select("url")
+        partitioned.join(done, Seq("url"), "left_anti")
+      case _ => partitioned
+    }
+
+    // Extract stage: html → text (the invariant-bearing step; input_hint
+    // demands byte-identical text per url, checked via sha2 equality when a
+    // golden text column is present).
+    val hasGolden = pages0.columns.contains("text")
+    val extracted0 = pages
+      .withColumn("extracted_text", extractUdf(col("html")))
+    val extracted = (if (hasGolden)
+      extracted0.withColumn("extract_ok",
+        sha2(col("extracted_text"), 256) === sha2(col("text"), 256))
+    else extracted0.withColumn("extract_ok", lit(true)))
+      .drop("text")
+      .withColumnRenamed("extracted_text", "text")
+      .withColumn("hashed_text", sha2(col("text"), 256))
+
+    // B2/B3: batched inference hosted in mapPartitions.
+    val raw = Inference.run(extracted, client, cfg.microBatch)
+
+    // P3/P4/P5: lenient parse → validated triples.
+    val parsed = PostProcess.triplesDf(raw.toDF())
+
+    // J2: alignment — broadcast by default, salted shuffle variant on demand.
+    val alias = Linker.aliasDim(dims)
+    val aligned =
+      if (cfg.saltedAlign) Linker.alignSalted(parsed, alias, cfg.saltBuckets)
+      else Linker.align(parsed, alias)
+
+    // CC canonicalization over the candidate-pair edges.
+    val canonical =
+      if (cfg.canonicalize) Canonicalizer(aligned)
+      else aligned.withColumn("obj_final", col("obj_canonical"))
+        .withColumn("entity_cluster_id", xxhash64(col("obj_kind"), col("obj_canonical")))
+
+    // J3: hydration joins.
+    val hydrated = Hydrator.hydrate(canonical, dims, cfg.jobStart)
+    val triples = hydrated.select(TripleColumns.map(col): _*)
+
+    // Lineage/metrics: one row per partition per stage (replaces the
+    // reference's job_id bookkeeping + "NA" failure placeholders,
+    // chtc/db.py:26-66).
+    val pageStats = extracted
+      .groupBy(spark_partition_id().as("partition_id"))
+      .agg(count(lit(1)).as("input_rows"),
+           sum(when(col("extract_ok"), 0L).otherwise(1L)).as("failed_rows"))
+      .withColumn("stage", lit("extract"))
+      .withColumn("output_rows", col("input_rows") - col("failed_rows"))
+    val tripleStats = triples
+      .groupBy(spark_partition_id().as("partition_id"))
+      .agg(count(lit(1)).as("output_rows"))
+      .withColumn("stage", lit("triples"))
+      .withColumn("input_rows", lit(null).cast("long"))
+      .withColumn("failed_rows", lit(0L))
+    val lineage = pageStats.unionByName(tripleStats)
+      .withColumn("job_start", lit(cfg.jobStart))
+      .select("stage", "partition_id", "input_rows", "output_rows",
+              "failed_rows", "job_start")
+
+    val rdf = if (cfg.emitRdf) Some(Rdf.fromHydrated(hydrated, dims)) else None
+    Result(triples, lineage, rdf)
+  }
+
+  /** Run + commit: write triples and lineage, then mark urls done so a
+    * subsequent run with the same checkpointDir is incremental
+    * (idempotent re-entry — running twice yields the same table). */
+  def runAndCommit(spark: SparkSession, pages: DataFrame, dims: Dims.Snapshot,
+                   client: Inference.InferenceClient, outDir: String,
+                   cfg: Config = Config()): Unit = {
+    val checkpointed = cfg.copy(checkpointDir = Some(s"$outDir/checkpoint"))
+    val res = run(spark, pages, dims, client, checkpointed)
+    res.triples.write.mode("append").parquet(s"$outDir/triples")
+    res.lineage.write.mode("append").parquet(s"$outDir/lineage")
+    res.rdf.foreach(_.write.mode("append").parquet(s"$outDir/rdf"))
+    // commit the done-set last: urls become "done" only after data landed
+    pages.select("url").write.mode("append").parquet(s"$outDir/checkpoint/done")
+  }
+
+  private def fsExists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+}

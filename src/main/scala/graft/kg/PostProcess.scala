@@ -1,0 +1,114 @@
+package graft.kg
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Lenient raw-output parsing → validated triples (SURVEY.md P3/P4/P5).
+  *
+  * Replicates the reference's tolerance exactly, per-row and never
+  * fail-fast:
+  *  - cleanup: strip, drop newlines and backslashes, truncate trailing
+  *    garbage after the final '}' via the `\}[^}]*$` → `}` rewrite
+  *    (reference: chtc/preprocess_extraction_direct.py:173-175,
+  *    text2graph/llm.py:127-131),
+  *  - a bare JSON list is re-wrapped as {"triplets": [...]}
+  *    (reference: text2graph/llm.py:211-213),
+  *  - invalid triplet elements are dropped individually, not fatally
+  *    (reference: text2graph/llm.py:221-232),
+  *  - a list-valued "location" is coerced to ", ".join
+  *    (reference: text2graph/schema.py:389-393),
+  *  - the object key is pipeline-specific: stratigraphic_name | mineral_name
+  *    (reference: text2graph/prompt.py:54-138); both are accepted and set
+  *    the `obj_kind` discriminator (SURVEY.md §1.1 — Spark has no sum types).
+  *
+  * Parsing runs in a typed mapPartitions with a per-JVM Jackson
+  * ObjectMapper — same cost shape as `from_json` (per-row parse) but with
+  * the reference's element-level salvage, which PERMISSIVE `from_json`
+  * cannot express (a malformed array element nulls the enclosing array).
+  */
+object PostProcess {
+
+  @transient private lazy val mapper = new ObjectMapper()
+
+  private val TrailingGarbage = "\\}[^}]*$".r
+
+  /** reference: chtc/preprocess_extraction_direct.py:173-175 */
+  def clean(raw: String): String = {
+    val s = raw.trim.replace("\n", "").replace("\\", "")
+    TrailingGarbage.replaceAllIn(s, "}")
+  }
+
+  final case class ParsedTriplet(
+      location: String, relationship: String, obj_name: String, obj_kind: String)
+
+  private def textOrJoin(n: JsonNode): Option[String] = {
+    if (n == null || n.isNull) None
+    else if (n.isTextual) Some(n.asText)
+    else if (n.isArray) {
+      // reference: text2graph/schema.py:389-393 — list coerced to ", ".join
+      val parts = (0 until n.size).map(i => n.get(i)).filter(_.isTextual).map(_.asText)
+      if (parts.isEmpty) None else Some(parts.mkString(", "))
+    } else None
+  }
+
+  /** Lenient parse of one raw output. Returns Nil on unparseable input
+    * (the reference logs and returns an empty GraphOutput). */
+  def parseOne(raw: String): Seq[ParsedTriplet] = {
+    // Parse as-is first (the API path does no cleanup, llm.py:209); only on
+    // failure apply the vllm cleanup + trailing-garbage repair (the chtc
+    // path) — applying the `\}[^}]*$` rewrite to a valid bare list would
+    // corrupt its closing bracket.
+    val root = {
+      val direct = try Option(mapper.readTree(raw.trim)) catch { case _: Exception => None }
+      direct.orElse {
+        try Option(mapper.readTree(clean(raw))) catch { case _: Exception => None }
+      }.orNull
+    }
+    if (root == null) return Nil
+    // bare list → wrap (reference: text2graph/llm.py:211-213)
+    val triplets =
+      if (root.isArray) root
+      else if (root.has("triplets") && root.get("triplets").isArray) root.get("triplets")
+      else return Nil
+    (0 until triplets.size).flatMap { i =>
+      val t = triplets.get(i)
+      if (!t.isObject) None // element-level drop (llm.py:222-228)
+      else {
+        val loc = textOrJoin(t.get("location"))
+        val rel = textOrJoin(t.get("relationship"))
+        val strat = textOrJoin(t.get("stratigraphic_name"))
+        val mineral = textOrJoin(t.get("mineral_name"))
+        (loc, rel) match {
+          case (Some(l), Some(r)) if l.nonEmpty =>
+            strat.filter(_.nonEmpty).map(s => ParsedTriplet(l, r, s, Model.ObjKind.Strat))
+              .orElse(mineral.filter(_.nonEmpty).map(m => ParsedTriplet(l, r, m, Model.ObjKind.Mineral)))
+          case _ => None
+        }
+      }
+    }
+  }
+
+  /** RawExtraction rows → exploded validated [[Model.Triple]] rows. */
+  def triples(raw: Dataset[Model.RawExtraction]): Dataset[Model.Triple] = {
+    val spark = raw.sparkSession
+    import spark.implicits._
+    raw.mapPartitions { it =>
+      it.flatMap { r =>
+        parseOne(r.raw).map(p =>
+          Model.Triple(r.url, r.hashed_text, p.location, p.relationship,
+            p.obj_name, p.obj_kind))
+      }
+    }
+  }
+
+  /** DataFrame variant keeping extra columns: explodes parsed triplets. */
+  private val parseUdf = udf((raw: String) =>
+    parseOne(raw).map(p => (p.location, p.relationship, p.obj_name, p.obj_kind)))
+
+  def triplesDf(raw: DataFrame): DataFrame =
+    raw.withColumn("t", explode(parseUdf(col("raw"))))
+      .select(col("url"), col("hashed_text"), col("model_id"),
+        col("t._1").as("subj_name"), col("t._2").as("predicate"),
+        col("t._3").as("obj_name"), col("t._4").as("obj_kind"))
+}

@@ -1,0 +1,223 @@
+package graft.kg
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CanonicalizerSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("connected components: min-label over a chain and a star") {
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (10L, 12L), (20L, 21L))
+      .toDF("src", "dst")
+    val got = Canonicalizer.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) === 1L && got(2L) === 1L && got(3L) === 1L)
+    assert(got(11L) === 10L && got(12L) === 10L)
+    assert(got(21L) === 20L)
+  }
+
+  test("alignment fixtures cluster to their canonicals (test_alignment.py)") {
+    val dims = Dims.tiny(spark)
+    val triples = Seq(
+      ("u1", "h1", "m", "Minnesota", "contains", "Abbey head bed.", "strat"),
+      ("u2", "h2", "m", "Minnesota", "contains", "Gold", "mineral"),
+      ("u3", "h3", "m", "Minnesota", "contains", "Abbey Head Bed", "strat"))
+      .toDF("url", "hashed_text", "model_id", "subj_name", "predicate", "obj_name", "obj_kind")
+    val aligned = Linker.align(triples, Linker.aliasDim(dims))
+    val canon = Canonicalizer(aligned)
+    val byName = canon.select("obj_name", "obj_canonical", "obj_final")
+      .collect().map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap
+    // reference: "Abbey head bed." → "Abbey Head Bed", "Gold" → "gold"
+    assert(byName("Abbey head bed.")._1 === "Abbey Head Bed")
+    assert(byName("Gold")._1 === "gold")
+    // CC gives both surface forms the same cluster-canonical
+    assert(byName("Abbey head bed.")._2 === byName("Abbey Head Bed")._2)
+  }
+
+  test("salted alignment equals broadcast alignment") {
+    val dims = Dims.tiny(spark)
+    val triples = Seq(
+      ("u1", "h1", "m", "Minnesota", "contains", "Shakopee Formation", "strat"),
+      ("u2", "h2", "m", "Minnesota", "contains", "Unknownite", "mineral"),
+      ("u3", "h3", "m", "Minnesota", "contains", "gold", "mineral"))
+      .toDF("url", "hashed_text", "model_id", "subj_name", "predicate", "obj_name", "obj_kind")
+    val alias = Linker.aliasDim(dims)
+    val a = Linker.align(triples, alias)
+      .select("url", "obj_name", "obj_canonical", "obj_linked")
+      .collect().map(_.toSeq).toSet
+    val b = Linker.alignSalted(triples, alias, saltBuckets = 4)
+      .select("url", "obj_name", "obj_canonical", "obj_linked")
+      .collect().map(_.toSeq).toSet
+    assert(a === b)
+  }
+}
+
+class KgPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val dims = Dims.tiny(spark)
+  private def client = Inference.defaultClient(
+    Dims.pinnedStrat.map(_.strat_name).toArray,
+    Dims.gazetteer.map(_.name).toArray,
+    Dims.pinnedMinerals.map(_.mineral).toArray ++ Chem.UsgsFormulas.keys)
+
+  private lazy val result = {
+    val pages = Pages.fixtures(spark)
+    KgPipeline.run(spark, pages, dims, client,
+      KgPipeline.Config(numPartitions = 4, canonicalize = true))
+  }
+  private lazy val triples = result.triples.cache()
+
+  test("golden parity: P/R >= 0.95 vs the 10-triplet reference fixture") {
+    val got = triples
+      .filter(col("url") === "https://fixtures.graft/sauk")
+      .select("subj_name", "predicate", "obj_name")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    val want = Fixtures.SaukGoldenTriples
+    val tp = got.intersect(want).size.toDouble
+    val precision = if (got.isEmpty) 0 else tp / got.size
+    val recall = tp / want.size
+    assert(precision >= 0.95, s"precision $precision, got=$got")
+    assert(recall >= 0.95, s"recall $recall")
+  }
+
+  test("SMITHVILLE hydration matches the pinned record (test_llm.py:7-32)") {
+    val row = triples.filter(col("obj_final") === "Smithville").collect().head
+    assert(row.getAs[String]("strat_name") === "Smithville")
+    assert(row.getAs[String]("strat_name_long") === "Smithville Formation")
+    assert(row.getAs[String]("rank") === "Fm")
+    assert(row.getAs[Long]("strat_name_id") === 5933L)
+    assert(row.getAs[Long]("concept_id") === 3863L)
+    assert(row.getAs[Double]("b_age") === 471.2834)
+    assert(row.getAs[Double]("t_age") === 465.5)
+    assert(row.getAs[String]("b_period") === "Ordovician")
+    assert(row.getAs[String]("t_period") === "Ordovician")
+  }
+
+  test("mineral pipeline: gold hydrated with formula and elements") {
+    val row = triples.filter(col("url") === "https://fixtures.graft/gold").collect().head
+    assert(row.getAs[String]("obj_kind") === "mineral")
+    assert(row.getAs[String]("obj_final") === "gold")
+    assert(row.getAs[String]("formula") === "Au")
+    assert(row.getAs[Seq[String]]("elements") === Seq("Au"))
+    assert(row.getAs[String]("subj_name") === "Minnesota")
+    // gazetteer hydration: Minnesota lat in (40, 50) (test_llm.py:96-99)
+    val lat = row.getAs[Double]("subj_lat")
+    assert(lat > 40 && lat < 50)
+  }
+
+  test("lenient-parse pages contribute salvaged rows, never failures") {
+    val byUrl = triples.groupBy("url").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byUrl("https://fixtures.graft/bare-list") === 1L)
+    assert(byUrl("https://fixtures.graft/trailing") === 1L)
+    assert(byUrl("https://fixtures.graft/invalid-row") === 1L)
+  }
+
+  test("extract invariant: html→text is byte-identical per url") {
+    val lin = result.lineage.filter(col("stage") === "extract")
+      .agg(sum("failed_rows")).collect().head.getLong(0)
+    assert(lin === 0L)
+  }
+
+  test("lineage has per-partition rows for every stage") {
+    val stages = result.lineage.select("stage").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(stages === Set("extract", "triples"))
+  }
+
+  test("USGS fallback: fluorspar gets Mindat formula when Macrostrat misses") {
+    val pages = Seq(("https://t/usgs", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+      HtmlText.render("There is fluorspar in Wisconsin.", "en"),
+      "There is fluorspar in Wisconsin.", "en"))
+      .toDF("url", "warc_ts", "html", "text", "lang")
+    val r = KgPipeline.run(spark, pages, dims, client, KgPipeline.Config(numPartitions = 2))
+    val row = r.triples.collect().head
+    assert(row.getAs[String]("obj_kind") === "mineral")
+    assert(row.getAs[String]("formula") === "CaF2")
+    assert(row.getAs[String]("formula_source") === "Mindat")
+    assert(row.getAs[Seq[String]]("elements") === Seq("Ca", "F"))
+  }
+
+  test("resume: second run is incremental and idempotent") {
+    val outDir = java.nio.file.Files.createTempDirectory("kgresume").toString
+    val pages = Pages.fixtures(spark)
+    KgPipeline.runAndCommit(spark, pages, dims, client, outDir,
+      KgPipeline.Config(numPartitions = 4))
+    val n1 = spark.read.parquet(s"$outDir/triples").count()
+    // re-run with the same checkpoint: all urls done → no new rows
+    KgPipeline.runAndCommit(spark, pages, dims, client, outDir,
+      KgPipeline.Config(numPartitions = 4))
+    val n2 = spark.read.parquet(s"$outDir/triples").count()
+    assert(n1 === n2)
+  }
+}
+
+class RdfSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val dims = Dims.tiny(spark)
+  private def client = Inference.defaultClient(
+    Dims.pinnedStrat.map(_.strat_name).toArray,
+    Dims.gazetteer.map(_.name).toArray,
+    Dims.pinnedMinerals.map(_.mineral).toArray)
+
+  private lazy val rdf = {
+    val pages = Pages.fixtures(spark)
+      .filter(col("url").isin("https://fixtures.graft/sauk", "https://fixtures.graft/gold"))
+    KgPipeline.run(spark, pages, dims, client,
+      KgPipeline.Config(numPartitions = 2, emitRdf = true)).rdf.get.cache()
+  }
+
+  test("strat object node typed by Macrostrat rank (G2/G3)") {
+    val smithville = rdf.filter(col("subj") === s"${Rdf.MSL}SmithvilleFormation")
+    val types = smithville.filter(col("pred") === s"${Rdf.RDF_}type")
+      .select("obj").collect().map(_.getString(0)).toSet
+    assert(types.contains(s"${Rdf.GSGU}Formation"))
+  }
+
+  test("labels carry @en language tag (G4)") {
+    val labels = rdf.filter(col("pred") === s"${Rdf.RDFS_}label" && col("lang") === "en")
+    assert(labels.count() > 0)
+  }
+
+  test("deposition age links interval class (G6)") {
+    val dep = rdf.filter(col("obj") === s"${Rdf.GST}OrdovicianPeriod").count()
+    assert(dep > 0)
+  }
+
+  test("WKT literal format is byte-exact (G9, general.py:231)") {
+    val wkt = rdf.filter(col("pred") === s"${Rdf.GSOC}hasDataValue" &&
+        col("obj").startsWith("( POINT "))
+      .select("obj").collect().map(_.getString(0))
+    assert(wkt.nonEmpty)
+    // Minnesota: lon first, then lat, space-padded parens
+    assert(wkt.contains("( POINT -93.3655 46.4419 )"))
+  }
+
+  test("rank relations: Jasper Member isPartOf Everton Formation shape (G5)") {
+    val partOf = rdf.filter(col("pred") === s"${Rdf.GSOC}isPartOf")
+      .select("subj", "obj").collect().map(r => (r.getString(0), r.getString(1)))
+    // Jasper (Mbr) sits under fm=Everton: member node isPartOf enclosing fm
+    assert(partOf.exists { case (s, o) =>
+      s.contains("Jasper") && o.contains("Everton") })
+  }
+
+  test("deterministic: two emissions are identical (G11 bnode labels)") {
+    val a = rdf.collect().map(_.toString).sorted
+    val pages = Pages.fixtures(spark)
+      .filter(col("url").isin("https://fixtures.graft/sauk", "https://fixtures.graft/gold"))
+    val again = KgPipeline.run(spark, pages, dims, client,
+      KgPipeline.Config(numPartitions = 2, emitRdf = true)).rdf.get
+    val b = again.collect().map(_.toString).sorted
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("TTL serialization emits prefixed Turtle per page") {
+    val ttl = Rdf.toTtl(rdf).filter(col("url") === "https://fixtures.graft/gold")
+      .select("ttl").collect().head.getString(0)
+    assert(ttl.startsWith("@prefix rdf:"))
+    assert(ttl.contains("gsog:Rock_Material"))
+    assert(ttl.contains("\"gold, native element, Au\"@en"))
+  }
+}
