@@ -1,0 +1,269 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops._
+
+/** Driver-gate queries for the training-data pipeline operators
+  * (deduplication, similarity search, text analysis, multimodal) with
+  * DuckDB oracles. Real implementations live in graft.ops; these wrappers
+  * bind them to the synthetic corpus tables.
+  */
+object OpsQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def docs(s: SparkSession, dir: String) = Tables.documents(s, dir)
+  private def embs(s: SparkSession, dir: String) =
+    Tables.embeddings(s, dir)
+      .withColumn("embedding", col("embedding").cast("array<double>"))
+
+  val queries: Map[String, Q] = Map(
+    "dedup_exact" -> { (s, dir) =>
+      docs(s, dir).select(md5(col("text")).as("text_hash"), col("doc_id"))
+        .groupBy("text_hash")
+        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc_id"))
+    },
+
+    "dedup_minhash_lsh" -> { (s, dir) =>
+      Dedup.minhashCandidates(docs(s, dir).filter(col("doc_id") < 500))
+    },
+
+    "dedup_simhash" -> { (s, dir) => Dedup.simhashGroups(docs(s, dir)) },
+
+    "dedup_jaccard" -> { (s, dir) =>
+      Dedup.jaccard(docs(s, dir).filter(col("doc_id") < 200), 0.8)
+    },
+
+    "dedup_embedding" -> { (s, dir) =>
+      Similarity.cosineNearDup(embs(s, dir), maxId = 300, minCos = 0.95)
+    },
+
+    "sim_cosine_topk" -> { (s, dir) =>
+      Similarity.bruteTopK(embs(s, dir), queryId = 0, k = 10)
+    },
+
+    "sim_ivf_topk" -> { (s, dir) =>
+      Similarity.ivfTopK(embs(s, dir), queryId = 0, k = 10, nprobe = 3)
+    },
+
+    "text_langid" -> { (s, dir) => TextOps.langId(docs(s, dir)) },
+    "text_quality" -> { (s, dir) => TextOps.quality(docs(s, dir)) },
+    "text_tokens" -> { (s, dir) => TextOps.tokenCounts(docs(s, dir)) },
+    "text_fingerprint" -> { (s, dir) => TextOps.fingerprint(docs(s, dir)) },
+
+    "mm_byte_meta" -> { (s, dir) =>
+      Multimodal.byteMeta(
+        docs(s, dir).select(col("doc_id"), col("text").cast("binary").as("payload")))
+    },
+
+    "mm_decode_stub" -> { (s, dir) =>
+      val media = docs(s, dir)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      Multimodal.decode(media).toDF()
+        .select(col("doc_id"), col("width"), col("height"), col("frames"))
+    },
+
+    // Windowed aggregation over the event stream (batch form of the
+    // tumbling-window streaming agg; same plan shape under readStream).
+    "events_window_agg" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "5 minutes").getField("start").as("w_start"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+    },
+
+    // Sessionization: 30-min inactivity gap splits sessions per user.
+    "events_sessionize" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, dir)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev_ts").isNull ||
+            unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800, 1)
+            .otherwise(0))
+        .withColumn("sess_idx", sum("new_sess").over(
+          w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "sess_idx")
+        .agg(count(lit(1)).as("n_events"),
+          round(sum("value"), 2).as("sess_value"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"),
+          round(avg("n_events"), 4).as("avg_events_per_session"),
+          round(sum("sess_value"), 2).as("total_value"))
+    }
+  )
+
+  // ---- oracles ----------------------------------------------------------
+
+  private val minhashSigs: String = (0 until Dedup.MinhashK)
+    .map(i => s"min(md5('$i|' || tok)) AS h$i").mkString(", ")
+  private def bandExprs: Seq[(Int, String)] = {
+    val rows = Dedup.MinhashK / Dedup.Bands
+    (0 until Dedup.Bands).map { b =>
+      val cols = (b * rows until (b + 1) * rows).map(i => s"h$i").mkString(" || '|' || ")
+      (b, s"md5($cols)")
+    }
+  }
+  private val simhashSums: String = (0 until 16)
+    .map(i => s"sum(CASE WHEN substr(md5(tok), ${i + 1}, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS s$i")
+    .mkString(", ")
+  private val simhashFp: String = (0 until 16)
+    .map(i => s"(CASE WHEN s$i > 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
+  private val stopRe = "\\b(" + TextOps.EnStopwords.mkString("|") + ")\\b"
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT md5(text) AS text_hash, count(*) AS n_docs,
+         min(doc_id) AS min_doc_id FROM documents GROUP BY 1""",
+    "dedup_minhash_lsh" ->
+      s"""WITH tok AS (
+            SELECT DISTINCT doc_id, tok FROM (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents WHERE doc_id < 500) WHERE tok <> ''),
+          sigs AS (SELECT doc_id, $minhashSigs FROM tok GROUP BY doc_id),
+          bands AS (${bandExprs.map { case (b, e) =>
+            s"SELECT doc_id, $b AS band, $e AS band_hash FROM sigs" }
+            .mkString(" UNION ALL ")})
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.band_hash = b.band_hash
+          WHERE a.doc_id < b.doc_id""",
+    "dedup_simhash" ->
+      s"""WITH tok AS (
+            SELECT DISTINCT doc_id, tok FROM (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents) WHERE tok <> ''),
+          sums AS (SELECT doc_id, $simhashSums FROM tok GROUP BY doc_id),
+          fp AS (SELECT doc_id, $simhashFp AS simhash FROM sums)
+          SELECT simhash, count(*) AS n_docs, min(doc_id) AS min_doc_id
+          FROM fp GROUP BY simhash HAVING count(*) > 1""",
+    "dedup_jaccard" ->
+      """WITH tok AS (
+           SELECT DISTINCT doc_id, tok FROM (
+             SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+             FROM documents WHERE doc_id < 200) WHERE tok <> ''),
+         sz AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id),
+         inter AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+           FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT doc_a, doc_b,
+           round(inter * 1.0 / (sa.sz + sb.sz - inter) + 1e-9, 4) AS jaccard
+         FROM inter
+         JOIN sz sa ON sa.doc_id = doc_a
+         JOIN sz sb ON sb.doc_id = doc_b
+         WHERE round(inter * 1.0 / (sa.sz + sb.sz - inter) + 1e-9, 4) >= 0.8""",
+    "dedup_embedding" ->
+      """WITH e AS (
+           SELECT vec_id, embedding::DOUBLE[] AS emb,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+           FROM embeddings WHERE vec_id < 300)
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 4) AS cos_sim
+         FROM e a JOIN e b ON a.vec_id < b.vec_id
+         WHERE round(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 4) >= 0.95""",
+    "sim_cosine_topk" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS q FROM embeddings WHERE vec_id = 0)
+         SELECT vec_id,
+           round(list_dot_product(embedding::DOUBLE[], q) /
+             (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
+              sqrt(list_dot_product(q, q))), 4) AS cos_sim
+         FROM embeddings, q WHERE vec_id <> 0
+         ORDER BY cos_sim DESC, vec_id LIMIT 10""",
+    "sim_ivf_topk" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS q FROM embeddings WHERE vec_id = 0),
+         pos AS (
+           SELECT label, generate_subscripts(embedding, 1) AS pos,
+             unnest(embedding)::DOUBLE AS v
+           FROM embeddings),
+         cent AS (
+           SELECT label, list(c ORDER BY pos) AS centroid FROM (
+             SELECT label, pos, avg(v) AS c FROM pos GROUP BY label, pos)
+           GROUP BY label),
+         probed AS (
+           SELECT label FROM cent, q
+           ORDER BY round(list_dot_product(centroid, q) /
+             (sqrt(list_dot_product(centroid, centroid)) * sqrt(list_dot_product(q, q))), 4) DESC,
+             label
+           LIMIT 3)
+         SELECT vec_id, e.label,
+           round(list_dot_product(embedding::DOUBLE[], q) /
+             (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
+              sqrt(list_dot_product(q, q))), 4) AS cos_sim
+         FROM embeddings e JOIN probed ON e.label = probed.label, q
+         WHERE vec_id <> 0
+         ORDER BY cos_sim DESC, vec_id LIMIT 10""",
+    "text_langid" ->
+      s"""SELECT doc_id, lang AS declared_lang,
+          CASE WHEN round(len(regexp_extract_all(text, '$stopRe')) * 1.0 /
+            len(list_filter(string_split(text, ' '), t -> t <> '')) + 1e-9, 4) >= 0.05
+            THEN 'en' ELSE 'und' END AS predicted_lang,
+          round(len(regexp_extract_all(text, '$stopRe')) * 1.0 /
+            len(list_filter(string_split(text, ' '), t -> t <> '')) + 1e-9, 4) AS stop_ratio
+          FROM documents""",
+    "text_quality" ->
+      s"""WITH m AS (
+           SELECT doc_id, length(text) AS n_chars,
+             len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tok,
+             len(regexp_extract_all(text, '$stopRe')) AS n_stop,
+             len(regexp_extract_all(text, '[a-zA-Z]')) AS n_alpha
+           FROM documents)
+         SELECT doc_id, n_chars, n_tok,
+           round((n_chars - n_tok + 1) * 1.0 / n_tok + 1e-9, 4) AS mean_tok_len,
+           round(n_stop * 1.0 / n_tok + 1e-9, 4) AS stop_ratio,
+           round(n_alpha * 1.0 / n_chars + 1e-9, 4) AS alpha_ratio,
+           round(least(n_tok / 64.0, 1.0) * 0.4 +
+             round(n_alpha * 1.0 / n_chars + 1e-9, 4) * 0.4 +
+             least(round(n_stop * 1.0 / n_tok + 1e-9, 4) * 5.0, 1.0) * 0.2 + 1e-9, 4) AS quality_score
+         FROM m""",
+    "text_tokens" ->
+      """SELECT doc_id,
+         len(list_filter(string_split(text, ' '), t -> t <> '')) AS ws_tokens,
+         len(regexp_extract_all(text, '[a-zA-Z]{1,4}|[0-9]{1,3}|[^a-zA-Z0-9 ]')) AS bpeish_tokens,
+         len(list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))) AS distinct_tokens
+         FROM documents""",
+    "text_fingerprint" ->
+      """SELECT doc_id,
+         md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint,
+         greatest(len(list_filter(string_split(text, ' '), t -> t <> '')) - 2, 0) AS n_shingles
+         FROM documents""",
+    "mm_byte_meta" ->
+      """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+         sha256(text) AS payload_sha, ascii(text[1]) AS first_byte
+         FROM documents""",
+    "mm_decode_stub" ->
+      """SELECT doc_id,
+         16 + ascii(text[1]) % 128 AS width,
+         16 + ascii(text[2]) % 128 AS height,
+         1 + octet_length(encode(text)) // 4096 AS frames
+         FROM documents""",
+    "events_window_agg" ->
+      """SELECT time_bucket(INTERVAL 5 MINUTE, ts) AS w_start, event_type,
+         count(*) AS n, round(sum(value), 2) AS sum_value
+         FROM events GROUP BY 1, 2""",
+    "events_sessionize" ->
+      """WITH g AS (
+           SELECT user_id, ts, event_id, value,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+           FROM events),
+         marked AS (
+           SELECT *, CASE WHEN prev_ts IS NULL
+             OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END AS new_sess
+           FROM g),
+         sess AS (
+           SELECT *, sum(new_sess) OVER
+             (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_idx
+           FROM marked),
+         per AS (
+           SELECT user_id, sess_idx, count(*) AS n_events,
+             round(sum(value), 2) AS sess_value
+           FROM sess GROUP BY 1, 2)
+         SELECT user_id, count(*) AS n_sessions,
+           round(avg(n_events), 4) AS avg_events_per_session,
+           round(sum(sess_value), 2) AS total_value
+         FROM per GROUP BY user_id"""
+  )
+}

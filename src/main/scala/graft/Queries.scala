@@ -109,9 +109,10 @@ object Queries {
     }
   )
 
-  def all: Map[String, Q] = relational ++ KgQueries.queries
+  def all: Map[String, Q] = relational ++ KgQueries.queries ++ OpsQueries.queries
 
-  def allOracles: Map[String, String] = oracles ++ KgQueries.oracles
+  def allOracles: Map[String, String] =
+    oracles ++ KgQueries.oracles ++ OpsQueries.oracles
 
   /** DuckDB-equivalent SQL per query (same parquet tables, same col names). */
   val oracles: Map[String, String] = Map(

@@ -1,0 +1,109 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Large-scale corpus deduplication operators.
+  *
+  * Not present in the reference (its corpus is pre-deduplicated xDD
+  * paragraphs) but mandatory for a training-data pipeline at 10^12-page
+  * scale. All variants are expressed as declarative DataFrame transforms —
+  * shuffles only on hash keys, no UDFs in the hot path, no driver-side
+  * state:
+  *
+  *  - exact: one groupBy on a 128-bit content hash. Shuffle is the hash
+  *    column only (project early, never the text).
+  *  - MinHash + LSH: k independent min-hashes from seeded md5 over the
+  *    token set, banded so that only same-band collisions join — candidate
+  *    generation is an equi-join on (band index, band hash), never an
+  *    all-pairs comparison. At 10^12 docs the band join is the only
+  *    shuffle, sized |docs| x bands.
+  *  - SimHash: 16-bit majority fingerprint; equality groups find
+  *    near-identical token distributions with a single groupBy.
+  *  - n-gram Jaccard: verification stage for candidate pairs — exploded
+  *    token join + pair aggregation, restricted to candidates (or a bounded
+  *    id range in the driver-gate query) to stay sub-quadratic.
+  *
+  * Hash parity note: md5 (not xxhash64) everywhere so the DuckDB oracle can
+  * reproduce signatures byte-for-byte; at production scale xxhash64 halves
+  * the hash cost — swap `sigExpr` only, semantics identical.
+  */
+object Dedup {
+
+  val MinhashK = 8
+  val Bands = 2 // 2 bands x 4 rows
+
+  def tokens(textCol: Column): Column =
+    array_distinct(filter(split(textCol, " "), t => t =!= ""))
+
+  /** Exact duplicate groups: (text_hash, n_docs, min_doc_id). */
+  def exactGroups(docs: DataFrame): DataFrame =
+    docs.select(md5(col("text")).as("text_hash"), col("doc_id"))
+      .groupBy("text_hash")
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc_id"))
+      .filter(col("n_docs") > 1)
+
+  /** Per-doc MinHash signature columns h0..h{k-1} over the token set. */
+  def minhashSignatures(docs: DataFrame): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val aggs = (0 until MinhashK).map(i =>
+      min(md5(concat(lit(s"$i|"), col("tok")))).as(s"h$i"))
+    tok.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH candidate pairs: docs sharing any band (doc_a < doc_b). */
+  def minhashCandidates(docs: DataFrame): DataFrame = {
+    val sigs = minhashSignatures(docs)
+    val rows = MinhashK / Bands
+    val bands = (0 until Bands).map { b =>
+      val cols = (b * rows until (b + 1) * rows).map(i => col(s"h$i"))
+      sigs.select(col("doc_id"), lit(b).as("band"),
+        md5(concat_ws("|", cols: _*)).as("band_hash"))
+    }.reduce(_ unionAll _)
+    val l = bands.select(col("band"), col("band_hash"), col("doc_id").as("doc_a"))
+    val r = bands.select(col("band"), col("band_hash"), col("doc_id").as("doc_b"))
+    l.join(r, Seq("band", "band_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
+  /** 16-bit SimHash: bit i is the majority over tokens of (i-th hex digit
+    * of md5(token) >= 8). Pure column expressions, fully codegen'd. */
+  def simhash(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .withColumn("h", md5(col("tok")))
+    val bitSums = (0 until 16).map { i =>
+      sum(when(substring(col("h"), i + 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"), 1)
+        .otherwise(-1)).as(s"s$i")
+    }
+    val summed = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val fp = (0 until 16).map(i =>
+      when(col(s"s$i") > 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
+    summed.select(col("doc_id"), fp.as("simhash"))
+  }
+
+  /** SimHash equality groups (near-identical token distributions). */
+  def simhashGroups(docs: DataFrame): DataFrame =
+    simhash(docs).groupBy("simhash")
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc_id"))
+      .filter(col("n_docs") > 1)
+
+  /** Token-set Jaccard for all pairs within `pairs` (doc_a < doc_b), or for
+    * all pairs of `docs` when pairs is None (bounded inputs only). */
+  def jaccard(docs: DataFrame, minJaccard: Double): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = tok.select(col("doc_id").as("doc_a"), col("tok"))
+      .join(tok.select(col("doc_id").as("doc_b"), col("tok")), "tok")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+      .withColumn("jaccard",
+        round(col("inter") / (col("sz_a") + col("sz_b") - col("inter")) + TextOps.RoundEps, 4))
+      .filter(col("jaccard") >= minJaccard)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+}

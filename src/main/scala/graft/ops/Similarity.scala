@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Scale design: the brute-force path is the correctness baseline (one pass,
+  * no shuffle besides the final top-k); the IVF path is the 10^12-row shape —
+  * a coarse quantizer splits the corpus into clusters, the query probes only
+  * `nprobe` clusters, so the scan touches nprobe/k of the data. Here the
+  * coarse assignment comes from the corpus `label` column (stand-in for a
+  * trained k-means codebook — training one is out of scope; the *plumbing*
+  * — centroid table, probe-then-scan plan, partition pruning by cluster —
+  * is the real thing).
+  *
+  * Dot products use `zip_with` + `aggregate` higher-order functions: pure
+  * Catalyst expressions, no UDF, no per-row JVM boxing beyond the array.
+  */
+object Similarity {
+
+  /** aggregate(zip_with(a,b,*), 0d, +) — dot product as a Column. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine top-k of `embeddings` vs the row with vec_id = queryId.
+    * Output: (vec_id, cos_sim rounded) ordered desc. */
+  def bruteTopK(embeddings: DataFrame, queryId: Long, k: Int): DataFrame = {
+    val q = embeddings.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q"))
+    embeddings.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(dot(col("embedding"), col("q")) /
+          (norm(col("embedding")) * norm(col("q"))), 4).as("cos_sim"))
+      .orderBy(desc("cos_sim"), col("vec_id"))
+      .limit(k)
+  }
+
+  /** Centroid table of the coarse quantizer: avg vector per cluster. */
+  def centroids(embeddings: DataFrame): DataFrame = {
+    val dim = embeddings
+      .select(posexplode(col("embedding")).as(Seq("pos", "v")), col("label"))
+      .groupBy(col("label"), col("pos"))
+      .agg(avg(col("v")).as("c"))
+    dim.groupBy("label")
+      .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+      .select(col("label"), transform(col("pc"), x => x.getField("c")).as("centroid"))
+  }
+
+  /** IVF-style search: probe the `nprobe` closest centroids, scan only
+    * their clusters, return top-k by cosine. */
+  def ivfTopK(embeddings: DataFrame, queryId: Long, k: Int, nprobe: Int): DataFrame = {
+    val q = embeddings.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q"))
+    val probed = centroids(embeddings)
+      .crossJoin(broadcast(q))
+      .select(col("label"),
+        round(dot(col("centroid"), col("q")) /
+          (norm(col("centroid")) * norm(col("q"))), 4).as("c_sim"))
+      .orderBy(desc("c_sim"), col("label"))
+      .limit(nprobe)
+      .select("label")
+    embeddings.filter(col("vec_id") =!= queryId)
+      .join(broadcast(probed), "label") // cluster pruning: only probed cells scanned
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"),
+        round(dot(col("embedding"), col("q")) /
+          (norm(col("embedding")) * norm(col("q"))), 4).as("cos_sim"))
+      .orderBy(desc("cos_sim"), col("vec_id"))
+      .limit(k)
+  }
+
+  /** Embedding near-duplicate pairs: cosine >= minCos within a bounded id
+    * range (driver-gate variant; production uses LSH/IVF buckets first). */
+  def cosineNearDup(embeddings: DataFrame, maxId: Long, minCos: Double): DataFrame = {
+    val e = embeddings.filter(col("vec_id") < maxId)
+      .select(col("vec_id"), col("embedding"),
+        norm(col("embedding")).as("nrm"))
+    val l = e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
+    val r = e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
+    l.crossJoin(r).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")), 4).as("cos_sim"))
+      .filter(col("cos_sim") >= minCos)
+  }
+}

@@ -1,0 +1,158 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy dog"), // exact dup of 0
+    (2L, "the quick brown fox jumps over the lazy cat"), // near dup
+    (3L, "completely different text about spark engines"),
+    (4L, "spark engines text about different completely")) // same token set as 3
+    .toDF("doc_id", "text")
+
+  test("exact groups collapse identical texts") {
+    val g = Dedup.exactGroups(docs).collect()
+    assert(g.length === 1)
+    assert(g.head.getAs[Long]("n_docs") === 2)
+    assert(g.head.getAs[Long]("min_doc_id") === 0)
+  }
+
+  test("minhash: identical token sets share full signature") {
+    val sigs = Dedup.minhashSignatures(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> (0 until Dedup.MinhashK).map(i => r.getAs[String](s"h$i")))
+      .toMap
+    assert(sigs(0L) === sigs(1L))
+    assert(sigs(3L) === sigs(4L)) // order-insensitive: same token set
+    assert(sigs(0L) !== sigs(3L))
+  }
+
+  test("LSH candidates include near-dups, exclude unrelated") {
+    val pairs = Dedup.minhashCandidates(docs).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(pairs.contains((3L, 4L)))
+    assert(!pairs.contains((0L, 3L)))
+  }
+
+  test("simhash groups identical token distributions") {
+    val g = Dedup.simhashGroups(docs).collect()
+    // {0,1,2-near} and {3,4} — at minimum the exact pairs group
+    val mins = g.map(_.getAs[Long]("min_doc_id")).toSet
+    assert(mins.contains(0L))
+    assert(mins.contains(3L))
+  }
+
+  test("jaccard: 8/10 shared distinct tokens for the near-dup pair") {
+    val j = Dedup.jaccard(docs, 0.0).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) -> r.getAs[Double]("jaccard"))
+      .toMap
+    assert(j((0L, 1L)) === 1.0)
+    assert(j((3L, 4L)) === 1.0)
+    // docs 0,2: tokens {the,quick,brown,fox,jumps,over,lazy,dog|cat}: 7 of 9
+    assert(math.abs(j((0L, 2L)) - 7.0 / 9.0) < 0.001)
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val embs = {
+    // deterministic vectors: cluster c direction + small per-id wiggle
+    val rows = for (id <- 0L until 40L) yield {
+      val c = (id % 4).toInt
+      val base = Array.fill(8)(0.0)
+      base(c) = 1.0
+      base((c + 4) % 8) = 0.1 + (id % 5) * 0.01
+      (id, base.map(_.toFloat).toSeq, c)
+    }
+    rows.toDF("vec_id", "embedding", "label")
+      .withColumn("embedding", col("embedding").cast("array<double>"))
+  }
+
+  test("brute top-k returns same-cluster vectors first") {
+    val top = Similarity.bruteTopK(embs, 0, 5).collect()
+    assert(top.length === 5)
+    // query 0 is cluster 0; its top hits are ids ≡ 0 (mod 4)
+    assert(top.map(_.getAs[Long]("vec_id")).forall(_ % 4 == 0))
+    val sims = top.map(_.getAs[Double]("cos_sim"))
+    assert(sims === sims.sorted.reverse)
+  }
+
+  test("ivf top-k equals brute-force when the right cluster is probed") {
+    val brute = Similarity.bruteTopK(embs, 0, 5).collect()
+      .map(_.getAs[Long]("vec_id")).toSeq
+    val ivf = Similarity.ivfTopK(embs, 0, 5, nprobe = 2).collect()
+      .map(_.getAs[Long]("vec_id")).toSeq
+    assert(ivf === brute)
+  }
+
+  test("cosine near-dup finds intra-cluster pairs only") {
+    val pairs = Similarity.cosineNearDup(embs, maxId = 40, minCos = 0.95).collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.forall { r =>
+      r.getAs[Long]("id_a") % 4 === r.getAs[Long]("id_b") % 4 })
+  }
+}
+
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "the cat is in the house and the dog is of note", "en"),
+    (1L, "wort wort wort ohne stopp woerter hier", "de"))
+    .toDF("doc_id", "text", "lang")
+
+  test("langid: stopword density separates en from und") {
+    val got = TextOps.langId(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("predicted_lang")).toMap
+    assert(got(0L) === "en")
+    assert(got(1L) === "und")
+  }
+
+  test("token counts: whitespace vs distinct") {
+    val r = TextOps.tokenCounts(docs).filter(col("doc_id") === 0).collect().head
+    assert(r.getAs[Int]("ws_tokens") === 12)
+    assert(r.getAs[Int]("distinct_tokens") === 9)
+  }
+
+  test("quality score bounded in [0,1]") {
+    val scores = TextOps.quality(docs).collect().map(_.getAs[Double]("quality_score"))
+    assert(scores.forall(s => s >= 0.0 && s <= 1.0))
+  }
+
+  test("fingerprint is whitespace/case-insensitive") {
+    val d2 = Seq((0L, "The  Cat"), (1L, "the cat")).toDF("doc_id", "text")
+    val fps = TextOps.fingerprint(d2).collect().map(_.getAs[String]("fingerprint"))
+    assert(fps(0) === fps(1))
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("stub decode is deterministic and batch-shaped") {
+    val media = Seq((0L, "hello world".getBytes("UTF-8")),
+      (1L, Array.empty[Byte])).toDF("doc_id", "payload")
+    val got = Multimodal.decode(media).collect().sortBy(_.doc_id)
+    assert(got(0).width === 16 + 'h')
+    assert(got(0).height === 16 + 'e')
+    assert(got(0).frames === 1)
+    assert(got(1).width === 16 && got(1).height === 16 && got(1).mean_byte === 0.0)
+    // determinism
+    val again = Multimodal.decode(media).collect().sortBy(_.doc_id)
+    assert(got.toSeq === again.toSeq)
+  }
+
+  test("byte metadata matches payload bytes") {
+    val media = Seq((0L, "abc".getBytes("UTF-8"))).toDF("doc_id", "payload")
+    val r = Multimodal.byteMeta(media).collect().head
+    assert(r.getAs[Int]("n_bytes") === 3)
+    assert(r.getAs[String]("payload_sha") ===
+      "ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad")
+    assert(r.getAs[Int]("first_byte") === 'a'.toInt)
+  }
+}
