@@ -176,7 +176,13 @@ object Dims {
     */
   final case class Snapshot(
       stratDim: DataFrame, mineralDim: DataFrame, intervalDim: DataFrame,
-      gazetteerDim: DataFrame, stratGpsDim: DataFrame)
+      gazetteerDim: DataFrame, stratGpsDim: DataFrame) {
+    /** Cache every dim (driver-built LocalRelations re-encode on each use
+      * otherwise — snapshot tables are read-many by design). */
+    def persisted(): Snapshot =
+      Snapshot(stratDim.cache(), mineralDim.cache(), intervalDim.cache(),
+        gazetteerDim.cache(), stratGpsDim.cache())
+  }
 
   def snapshot(spark: SparkSession, bulkStrat: Int = 45646 - 13,
                bulkMinerals: Int = 6387 - 3): Snapshot = {

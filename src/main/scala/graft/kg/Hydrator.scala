@@ -34,15 +34,19 @@ object Hydrator {
   private val elementsUdf = udf((formula: String) =>
     if (formula == null) null else Chem.toElements(formula))
 
-  /** Hydrate canonicalized triples with strat, mineral, USGS-fallback and
-    * gazetteer fields. Input needs: subj_name, predicate, obj_kind,
-    * obj_final. Output adds nullable dim columns + subj_lat/subj_lon +
-    * elements + requested_at provenance timestamp. */
-  def hydrate(triples: DataFrame, dims: Dims.Snapshot,
-              jobStart: java.sql.Timestamp): DataFrame = {
-    val spark = triples.sparkSession
-    import spark.implicits._
+  /** Join-ready (first-hit-deduped, normalized-keyed) dimension tables.
+    * Build once per job via [[prepare]] — the window dedup over the dims is
+    * bootstrap work, not per-page work; callers on a hot path cache these.
+    */
+  final case class Prepared(
+      stratKeyed: DataFrame, mineralKeyed: DataFrame, gaz: DataFrame) {
+    def cached(): Prepared =
+      Prepared(stratKeyed.cache(), mineralKeyed.cache(), gaz.cache())
+  }
 
+  def prepare(dims: Dims.Snapshot): Prepared = {
+    val spark = dims.stratDim.sparkSession
+    import spark.implicits._
     // Strat lookup: exact=False in the reference (substring-ish REST
     // semantics, schema.py:133-141) — normalized equality against both the
     // short and the long name (a canonicalized "Shakopee Formation" must
@@ -57,19 +61,52 @@ object Hydrator {
       "strat_key", "strat_name_id")
       .drop("strat_key")
 
-    val mineralKeyed = firstHit(
+    // USGS-exclusive minerals are pre-merged into the mineral lookup as
+    // fallback rows (mineral=null, formula from Mindat) so hydration pays
+    // one mineral broadcast join instead of two; the reference's "only when
+    // Macrostrat misses" ordering (schema.py:358-366) is preserved because
+    // merge happens via anti-join on the normalized key.
+    val macroMinerals = firstHit(
       dims.mineralDim.select("mineral", "mineral_id", "mineral_type",
         "formula", "url", "macrostrat_version"),
       "mineral", "mineral_id")
       .withColumnRenamed("url", "mineral_url")
-
+      .withColumn("formula_source",
+        when(col("formula").isNotNull, lit("Macrostrat")).otherwise(lit(null).cast("string")))
     val usgs = Chem.UsgsFormulas.toSeq.sorted
       .toDF("usgs_name", "usgs_formula")
       .withColumn("join_norm", Linker.normName(col("usgs_name")))
+    val usgsOnly = usgs.join(macroMinerals.select("join_norm"), Seq("join_norm"), "left_anti")
+      .select(col("join_norm"),
+        lit(null).cast("string").as("mineral"),
+        lit(null).cast("long").as("mineral_id"),
+        lit(null).cast("string").as("mineral_type"),
+        col("usgs_formula").as("formula"),
+        lit(null).cast("string").as("mineral_url"),
+        lit(null).cast("int").as("macrostrat_version"),
+        lit("Mindat").as("formula_source"))
+    val mineralKeyed = macroMinerals
+      .select("join_norm", "mineral", "mineral_id", "mineral_type",
+        "formula", "mineral_url", "macrostrat_version", "formula_source")
+      .unionByName(usgsOnly)
 
     val gaz = firstHit(
       dims.gazetteerDim.select(col("name").as("gaz_name"), col("lat"), col("lon")),
       "gaz_name", "gaz_name")
+    Prepared(stratKeyed, mineralKeyed, gaz)
+  }
+
+  def hydrate(triples: DataFrame, dims: Dims.Snapshot,
+              jobStart: java.sql.Timestamp): DataFrame =
+    hydratePrepared(triples, prepare(dims), jobStart)
+
+  /** Hydrate canonicalized triples with strat, mineral, USGS-fallback and
+    * gazetteer fields. Input needs: subj_name, predicate, obj_kind,
+    * obj_final. Output adds nullable dim columns + subj_lat/subj_lon +
+    * elements + requested_at provenance timestamp. */
+  def hydratePrepared(triples: DataFrame, prepared: Prepared,
+                      jobStart: java.sql.Timestamp): DataFrame = {
+    val Prepared(stratKeyed, mineralKeyed, gaz) = prepared
 
     val withStrat = triples
       .withColumn("obj_join", Linker.normName(col("obj_final")))
@@ -83,18 +120,6 @@ object Hydrator {
         col("obj_kind") === Model.ObjKind.Mineral && col("obj_join") === col("min_join"),
         "left")
       .drop("min_join")
-      // USGS fallback fires only when Macrostrat missed (schema.py:358-366)
-      .join(broadcast(usgs.withColumnRenamed("join_norm", "usgs_join")),
-        col("obj_kind") === Model.ObjKind.Mineral && col("mineral").isNull &&
-          col("obj_join") === col("usgs_join"),
-        "left")
-      .drop("usgs_join", "usgs_name")
-      .withColumn("formula", coalesce(col("formula"), col("usgs_formula")))
-      .withColumn("formula_source",
-        when(col("mineral").isNotNull, lit("Macrostrat"))
-          .when(col("usgs_formula").isNotNull, lit("Mindat"))
-          .otherwise(lit(null).cast("string")))
-      .drop("usgs_formula")
       .withColumn("elements", elementsUdf(col("formula")))
 
     val hydrated = withMineral
