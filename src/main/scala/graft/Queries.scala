@@ -106,6 +106,37 @@ object Queries {
       val a = Tables.part(s, dir).select(col("p_brand").as("name"))
       val b = Tables.supplier(s, dir).select(col("s_name").as("name"))
       a.union(b).distinct().agg(count(lit(1)).as("n_names"))
+    },
+
+    // JSON parse of a payload column — SURVEY P4 (from_json with explicit
+    // schema, lenient nulls) aggregated per event type.
+    "q_json_extract" -> { (s, dir) =>
+      import org.apache.spark.sql.types._
+      Tables.events(s, dir)
+        .withColumn("k",
+          from_json(col("props"), StructType(Seq(StructField("k", LongType))))
+            .getField("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+          count(col("k")).as("n_parsed"))
+    },
+
+    // Sampled metrics — SURVEY A6 (the reference's ETA estimate uses
+    // ORDER BY RANDOM() LIMIT 100; we key the sample on a content hash so
+    // both engines select the identical deterministic subset).
+    "q_sampled_metrics" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .filter(substring(md5(col("event_id").cast("string")), 1, 1).isin("0", "1"))
+        .agg(count(lit(1)).as("n_sampled"),
+          round(avg("value"), 4).as("avg_value"))
+    },
+
+    // Filtered count — SURVEY S3 (count_paragraphs(topic)): predicate on a
+    // JSON property standing in for the topic_list containment filter.
+    "q_topic_count" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .filter(get_json_object(col("props"), "$.k").cast("long") > 50)
+        .agg(count(lit(1)).as("n_matching"))
     }
   )
 
@@ -170,6 +201,17 @@ object Queries {
       """SELECT count(*) AS n_names FROM (
            SELECT DISTINCT name FROM (
              SELECT p_brand AS name FROM part
-             UNION ALL SELECT s_name AS name FROM supplier))"""
+             UNION ALL SELECT s_name AS name FROM supplier))""",
+    "q_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+         sum(json_extract(props, '$.k')::BIGINT)::BIGINT AS sum_k,
+         count(json_extract(props, '$.k')) AS n_parsed
+         FROM events GROUP BY event_type""",
+    "q_sampled_metrics" ->
+      """SELECT count(*) AS n_sampled, round(avg(value), 4) AS avg_value
+         FROM events WHERE substr(md5(event_id::VARCHAR), 1, 1) IN ('0', '1')""",
+    "q_topic_count" ->
+      """SELECT count(*) AS n_matching FROM events
+         WHERE json_extract(props, '$.k')::BIGINT > 50"""
   )
 }

@@ -1,0 +1,116 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.kg._
+
+/** Structured Streaming skin over the KG pipeline.
+  *
+  * The reference is pure batch (SURVEY §2.8), but a web-scale crawl is
+  * naturally a stream of WARC segments: this module runs the same stage
+  * chain — extract → batched inference → lenient parse → alignment — as an
+  * incremental `readStream` over arriving page files. Stages were designed
+  * stream-compatible from the start: every transform is either stateless
+  * (map/mapPartitions/UDF) or a broadcast join, so the streaming plan is
+  * the batch plan minus the two inherently-global steps:
+  *  - connected-components canonicalization (iterative; runs as a periodic
+  *    batch compaction over the accumulated triples table instead),
+  *  - cross-batch dedup (handled by the downstream table's merge keys).
+  *
+  * Plus the event-side streaming operators: watermarked tumbling-window
+  * aggregation and mapGroupsWithState sessionization.
+  */
+object StreamingKg {
+
+  val PageSchema: StructType = StructType(Seq(
+    StructField("url", StringType),
+    StructField("warc_ts", TimestampType),
+    StructField("html", BinaryType),
+    StructField("text", StringType),
+    StructField("lang", StringType)))
+
+  /** Incremental page source: a directory where crawl segments land. */
+  def pagesStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(PageSchema).parquet(dir)
+
+  /** Streaming triple extraction: extract → infer → parse → align.
+    * Identical per-row semantics to the batch pipeline (same functions). */
+  def triplesStream(pages: DataFrame, dims: Dims.Snapshot,
+                    client: Inference.InferenceClient,
+                    microBatch: Int = 200): DataFrame = {
+    val extracted = pages
+      .withColumn("text", udf((h: Array[Byte]) => HtmlText.extract(h)).apply(col("html")))
+      .withColumn("hashed_text", sha2(col("text"), 256))
+    val raw = Inference.run(extracted, client, microBatch)
+    val parsed = PostProcess.triplesDf(raw.toDF())
+    Linker.align(parsed, Linker.aliasDim(dims))
+  }
+
+  /** Watermarked tumbling-window aggregation over the event stream. */
+  def windowedEventCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  // --- stateful sessionization -------------------------------------------
+
+  final case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  final case class SessionState(start: Long, lastSeen: Long, nEvents: Long, value: Double)
+  final case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
+      n_events: Long, session_value: Double, duration_secs: Long)
+
+  val SessionGapMs: Long = 30 * 60 * 1000
+
+  /** Gap-based sessionization with explicit state — the streaming form of
+    * the batch `events_sessionize` query. A session closes when a later
+    * event arrives past the gap; with `idleTimeout` also after 30 min of
+    * processing-time inactivity (leave off for deterministic tests —
+    * timeout batches fire on the wall clock, which `processAllAvailable`
+    * does not drive). */
+  def sessionize(events: Dataset[Event], idleTimeout: Boolean = true): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val timeoutConf =
+      if (idleTimeout) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, timeoutConf) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(userId, new java.sql.Timestamp(s.start),
+              s.nEvents, s.value, (s.lastSeen - s.start) / 1000))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[SessionOut]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.lastSeen <= SessionGapMs =>
+                  cur = Some(s.copy(lastSeen = t, nEvents = s.nEvents + 1,
+                    value = s.value + e.value))
+                case Some(s) =>
+                  closed ::= SessionOut(userId, new java.sql.Timestamp(s.start),
+                    s.nEvents, s.value, (s.lastSeen - s.start) / 1000)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              if (idleTimeout) state.setTimeoutDuration(SessionGapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}

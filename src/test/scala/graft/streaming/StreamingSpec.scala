@@ -1,0 +1,77 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.kg._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val dims = Dims.tiny(spark)
+  private def client = Inference.defaultClient(
+    Dims.pinnedStrat.map(_.strat_name).toArray,
+    Dims.gazetteer.map(_.name).toArray,
+    Dims.pinnedMinerals.map(_.mineral).toArray)
+
+  test("streaming triple extraction matches batch semantics per row") {
+    val dir = java.nio.file.Files.createTempDirectory("pagestream").toString
+    Pages.fixtures(spark).write.mode("overwrite").parquet(dir)
+
+    val stream = StreamingKg.pagesStream(spark, dir)
+    assert(stream.isStreaming)
+    val q = StreamingKg.triplesStream(stream, dims, client)
+      .writeStream.format("memory").queryName("triples_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+
+    val got = spark.table("triples_out")
+      .filter(col("url") === "https://fixtures.graft/sauk")
+      .select("subj_name", "predicate", "obj_name")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(got === Fixtures.SaukGoldenTriples)
+    // alignment ran: canonical column exists and the long-form entity linked
+    val shak = spark.table("triples_out")
+      .filter(col("obj_name") === "Shakopee Formation").collect()
+    assert(shak.forall(_.getAs[Boolean]("obj_linked")))
+  }
+
+  test("watermarked windowed aggregation over an event stream") {
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)](spark)
+    val events = input.toDF().toDF("ts", "event_type", "value")
+    val q = StreamingKg.windowedEventCounts(events)
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode("complete").start()
+    input.addData(
+      (java.sql.Timestamp.valueOf("2024-01-01 00:01:00"), "click", 1.0),
+      (java.sql.Timestamp.valueOf("2024-01-01 00:02:00"), "click", 2.0),
+      (java.sql.Timestamp.valueOf("2024-01-01 00:07:00"), "view", 5.0))
+    q.processAllAvailable()
+    val rows = spark.table("win_out").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2))).toSet
+    q.stop()
+    assert(rows === Set(
+      ("2024-01-01 00:00:00.0", "click", 2L),
+      ("2024-01-01 00:05:00.0", "view", 1L)))
+  }
+
+  test("stateful sessionization closes sessions on gap") {
+    val input = MemoryStream[StreamingKg.Event](spark)
+    val q = StreamingKg.sessionize(input.toDS(), idleTimeout = false)
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    // two sessions for user 1 separated by > 30 min; the second stays open
+    input.addData(
+      StreamingKg.Event(1, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1.0),
+      StreamingKg.Event(1, java.sql.Timestamp.valueOf("2024-01-01 00:10:00"), 2.0),
+      StreamingKg.Event(1, java.sql.Timestamp.valueOf("2024-01-01 01:00:00"), 4.0))
+    q.processAllAvailable()
+    val closed = spark.table("sess_out").as[StreamingKg.SessionOut].collect()
+    q.stop()
+    assert(closed.length === 1)
+    assert(closed.head.n_events === 2)
+    assert(closed.head.session_value === 3.0)
+    assert(closed.head.duration_secs === 600)
+  }
+}
