@@ -114,6 +114,29 @@ object KgQueries {
       val entityUri = udf((t: String) => Rdf.MSL + EntityNames.entityName(t))
       mentionsDf(s, dir, EntTerms).select(col("term")).distinct()
         .select(col("term"), entityUri(col("term")).as("uri"))
+    },
+
+    // S1: retrieval — top-k docs by query-term relevance (deterministic
+    // mention-count scoring replacing the reference's vector search).
+    "kg_retrieval_topk" -> { (s, dir) =>
+      mentionsDf(s, dir, Seq("spark", "join"))
+        .groupBy("doc_id").agg(count(lit(1)).as("score"))
+        .orderBy(desc("score"), col("doc_id"))
+        .limit(10)
+    },
+
+    // G1-G11: full RDF materialization over the reference fixture pages —
+    // not SQL-expressible, so this records the driver's weaker rows-only
+    // check; graph-level assertions live in RdfSpec.
+    "kg_rdf_triples" -> { (s, dir) =>
+      val dims = Dims.tiny(s)
+      val client = Inference.defaultClient(
+        Dims.pinnedStrat.map(_.strat_name).toArray,
+        Dims.gazetteer.map(_.name).toArray,
+        Dims.pinnedMinerals.map(_.mineral).toArray)
+      val res = KgPipeline.run(s, Pages.fixtures(s), dims, client,
+        KgPipeline.Config(numPartitions = 4, emitRdf = true))
+      res.rdf.get.toDF().select("url", "subj", "pred", "obj")
     }
   )
 
@@ -187,6 +210,14 @@ object KgQueries {
       s"""SELECT DISTINCT term,
           'https://macrostrat.org/lexicon/' || upper(term[1]) || term[2:] AS uri
           FROM documents CROSS JOIN (VALUES ${sqlList(EntTerms)}) t(term)
-          WHERE regexp_matches(text, '\\b' || term || '\\b')"""
+          WHERE regexp_matches(text, '\\b' || term || '\\b')""",
+    "kg_retrieval_topk" ->
+      """SELECT doc_id, score FROM (
+           SELECT doc_id,
+             len(regexp_extract_all(text, '\bspark\b')) +
+             len(regexp_extract_all(text, '\bjoin\b')) AS score
+           FROM documents)
+         WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 10"""
+    // kg_rdf_triples: intentionally no oracle (non-SQL-expressible op)
   )
 }

@@ -1,6 +1,6 @@
 package graft.kg
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -60,6 +60,7 @@ object Hydrator {
         .unionByName(stratFields.withColumn("strat_key", col("strat_name_long"))),
       "strat_key", "strat_name_id")
       .drop("strat_key")
+      .withColumnRenamed("macrostrat_version", "strat_macrostrat_version")
 
     // USGS-exclusive minerals are pre-merged into the mineral lookup as
     // fallback rows (mineral=null, formula from Mindat) so hydration pays
@@ -89,6 +90,7 @@ object Hydrator {
       .select("join_norm", "mineral", "mineral_id", "mineral_type",
         "formula", "mineral_url", "macrostrat_version", "formula_source")
       .unionByName(usgsOnly)
+      .withColumnRenamed("macrostrat_version", "mineral_macrostrat_version")
 
     val gaz = firstHit(
       dims.gazetteerDim.select(col("name").as("gaz_name"), col("lat"), col("lon")),
@@ -131,6 +133,29 @@ object Hydrator {
       .withColumnRenamed("lon", "subj_lon")
       .withColumn("requested_at", lit(jobStart))
 
-    hydrated
+    // Flattened provenance chain, oldest → newest (SURVEY §1.1: the
+    // reference's recursive Provenance.previous becomes an ordered array;
+    // ids are content-derived, the timestamp is the job start — never a
+    // per-row clock). Conditional hops null out and are compacted away.
+    def prov(name: Column, urlC: Column, version: Column): Column =
+      struct(name.as("source_name"), urlC.as("source_url"),
+        version.as("source_version"), col("requested_at").as("requested"))
+    val provenance = array_compact(array(
+      prov(lit("GraftTextExtractor"), col("url"), lit("html-text-v1")),
+      prov(col("model_id"), col("url"), col("model_id")),
+      when(col("strat_name").isNotNull,
+        prov(lit("Macrostrat"),
+          concat(lit(s"${Dims.BaseUrl}/defs/strat_names?strat_name_id="),
+            col("strat_name_id")),
+          col("strat_macrostrat_version").cast("string"))),
+      when(col("mineral").isNotNull,
+        prov(lit("Macrostrat"), col("mineral_url"),
+          col("mineral_macrostrat_version").cast("string"))),
+      when(col("formula_source") === "Mindat",
+        prov(lit("Mindat"), lit("https://api.mindat.org/"), lit("1.0"))),
+      when(col("subj_lat").isNotNull,
+        prov(lit("GeocodeAPI"), lit("gazetteer-snapshot"), lit("snapshot-1")))))
+
+    hydrated.withColumn("provenance", provenance)
   }
 }

@@ -52,7 +52,7 @@ object KgPipeline {
     "strat_name", "strat_name_long", "rank", "strat_name_id", "concept_id",
     "b_age", "t_age", "b_period", "t_period",
     "mineral", "mineral_id", "mineral_type", "formula", "formula_source",
-    "elements", "requested_at")
+    "elements", "provenance", "requested_at")
 
   private val extractUdf = udf((html: Array[Byte]) => HtmlText.extract(html))
 
@@ -147,7 +147,12 @@ object KgPipeline {
                    cfg: Config = Config()): Unit = {
     val checkpointed = cfg.copy(checkpointDir = Some(s"$outDir/checkpoint"))
     val res = run(spark, pages, dims, client, checkpointed)
-    res.triples.write.mode("append").parquet(s"$outDir/triples")
+    // 64-way url-hash bucketing — the parquet stand-in for the Iceberg
+    // `bucket(url)` partition transform (FIXTURES.md §5): point lookups by
+    // url prune to one bucket, appends from resumed runs stay co-located.
+    res.triples
+      .withColumn("url_bucket", pmod(xxhash64(col("url")), lit(64)))
+      .write.mode("append").partitionBy("url_bucket").parquet(s"$outDir/triples")
     res.lineage.write.mode("append").parquet(s"$outDir/lineage")
     res.rdf.foreach(_.write.mode("append").parquet(s"$outDir/rdf"))
     // commit the done-set last: urls become "done" only after data landed

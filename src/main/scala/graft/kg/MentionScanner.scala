@@ -109,7 +109,10 @@ final class MentionScanner private (
           val wordAfterEnd = end < text.length && isWordChar(text.charAt(end))
           val bounded = (wordAtStart != wordBeforeStart) && (wordAtLast != wordAfterEnd)
           if (bounded && start >= lastEnd.getOrElse(t.toLong, 0)) {
-            hits += Model.Mention(text0.substring(start, end), start, end)
+            // In ignore-case mode the reference matches over the LOWERED
+            // text, so the reported word is the case-folded form
+            // (macrostrat.py:142-144: match.group() of the lowered text).
+            hits += Model.Mention(text.substring(start, end), start, end)
             lastEnd(t.toLong) = end
           }
         }

@@ -35,7 +35,7 @@ class MentionScannerSpec extends AnyFunSuite {
         val p = java.util.regex.Pattern.compile("\\b" + java.util.regex.Pattern.quote(w) + "\\b")
         val m = p.matcher(text)
         val out = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Int)]
-        while (m.find()) out += ((text0.substring(m.start, m.end), m.start, m.end))
+        while (m.find()) out += ((m.group(), m.start, m.end))
         out.toSeq
       }
     }.sortBy(x => (x._2, x._3))

@@ -139,6 +139,21 @@ class KgPipelineSpec extends SparkSpec {
     assert(row.getAs[Seq[String]]("elements") === Seq("Ca", "F"))
   }
 
+  test("provenance chain: oldest-to-newest hops, conditional on hydration") {
+    val row = triples.filter(col("url") === "https://fixtures.graft/gold").collect().head
+    val chain = row.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("provenance")
+      .map(_.getAs[String]("source_name"))
+    // extractor → model → Macrostrat (gold hit) → GeocodeAPI (Minnesota hit)
+    assert(chain === Seq("GraftTextExtractor", "graft-fixture+graft-heuristic-v1",
+      "Macrostrat", "GeocodeAPI"))
+    val unhydrated = triples.filter(col("obj_final") === "Black Rock").collect().head
+    val chain2 = unhydrated.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("provenance")
+      .map(_.getAs[String]("source_name"))
+    // subject "southern and eastern flanks..." has no gazetteer row → no geo hop
+    assert(chain2 === Seq("GraftTextExtractor", "graft-fixture+graft-heuristic-v1",
+      "Macrostrat"))
+  }
+
   test("resume: second run is incremental and idempotent") {
     val outDir = java.nio.file.Files.createTempDirectory("kgresume").toString
     val pages = Pages.fixtures(spark)
