@@ -109,11 +109,12 @@ object KgQueries {
         .select(col("doc_id"), col("term"), col("n"), col("dim_id"), col("category"))
     },
 
-    // G2/P6: entity-name formatting to URI-safe node ids.
+    // G2/P6: entity-name formatting to URI-safe node ids — via the native
+    // codegen'd Catalyst expression (graft.plans.Expressions), not a UDF.
     "kg_entity_uri" -> { (s, dir) =>
-      val entityUri = udf((t: String) => Rdf.MSL + EntityNames.entityName(t))
       mentionsDf(s, dir, EntTerms).select(col("term")).distinct()
-        .select(col("term"), entityUri(col("term")).as("uri"))
+        .select(col("term"),
+          concat(lit(Rdf.MSL), graft.plans.Expressions.entity_name(col("term"))).as("uri"))
     },
 
     // S1: retrieval — top-k docs by query-term relevance (deterministic
