@@ -59,30 +59,36 @@ object KgPipeline {
   def run(spark: SparkSession, pages0: DataFrame, dims: Dims.Snapshot,
           client: Inference.InferenceClient, cfg: Config = Config()): Result = {
 
-    // B1: explicit url-hash partitioning — the unit of resume + lineage.
-    val partitioned = pages0.repartition(cfg.numPartitions, col("url"))
-
-    // J1: resume anti-join against previously committed urls.
+    // J1: resume anti-join against previously committed urls — FIRST, so
+    // already-done pages are pruned before any per-page work (broadcast
+    // anti-join: no shuffle of the page side).
     val pages = cfg.checkpointDir match {
       case Some(dir) if fsExists(spark, s"$dir/done") =>
         val done = spark.read.parquet(s"$dir/done").select("url")
-        partitioned.join(done, Seq("url"), "left_anti")
-      case _ => partitioned
+        pages0.join(broadcast(done), Seq("url"), "left_anti")
+      case _ => pages0
     }
 
     // Extract stage: html → text (the invariant-bearing step; input_hint
-    // demands byte-identical text per url, checked via sha2 equality when a
-    // golden text column is present).
+    // demands byte-identical text per url). Runs BEFORE the repartition and
+    // immediately drops `html` + the golden column: shuffling both the raw
+    // html and the text would double the heaviest data movement of the
+    // whole job (pages are the only page-cardinality shuffle there is).
     val hasGolden = pages0.columns.contains("text")
     val extracted0 = pages
       .withColumn("extracted_text", extractUdf(col("html")))
-    val extracted = (if (hasGolden)
-      extracted0.withColumn("extract_ok",
-        sha2(col("extracted_text"), 256) === sha2(col("text"), 256))
+    val slim = (if (hasGolden)
+      // direct byte equality — hashing both sides would cost two extra
+      // sha256 passes per page for the same answer
+      extracted0.withColumn("extract_ok", col("extracted_text") === col("text"))
     else extracted0.withColumn("extract_ok", lit(true)))
-      .drop("text")
+      .drop("text", "html")
       .withColumnRenamed("extracted_text", "text")
       .withColumn("hashed_text", sha2(col("text"), 256))
+
+    // B1: explicit url-hash partitioning of the slim rows — the unit of
+    // downstream work distribution + lineage.
+    val extracted = slim.repartition(cfg.numPartitions, col("url"))
 
     // B2/B3: batched inference hosted in mapPartitions.
     val raw = Inference.run(extracted, client, cfg.microBatch)

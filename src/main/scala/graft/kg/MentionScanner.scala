@@ -27,17 +27,14 @@ final class MentionScanner private (
     terms: Array[String],
     ignoreCase: Boolean) extends Serializable {
 
-  // Trie over the dictionary; nodes in a growable structure of HashMaps
-  // (built once; match path is array/hash lookups only).
-  private val children = mutable.ArrayBuffer(mutable.LongMap.empty[Int])
-  private val fail = mutable.ArrayBuffer(0)
-  // term indices ending at each node (via dict-suffix links, flattened)
-  private val outputs = mutable.ArrayBuffer[List[Int]](Nil)
-
   private def norm(s: String): String = if (ignoreCase) s.toLowerCase else s
 
+  // --- build phase: hash-map trie (fast to construct) -------------------
+  private val buildChildren = mutable.ArrayBuffer(mutable.LongMap.empty[Int])
+  private val buildFail = mutable.ArrayBuffer(0)
+  private val buildOutputs = mutable.ArrayBuffer[List[Int]](Nil)
+
   locally {
-    // build goto
     var t = 0
     while (t < terms.length) {
       val w = norm(terms(t))
@@ -46,34 +43,93 @@ final class MentionScanner private (
         var i = 0
         while (i < w.length) {
           val c = w.charAt(i).toLong
-          node = children(node).getOrElse(c, {
-            children += mutable.LongMap.empty[Int]
-            fail += 0
-            outputs += Nil
-            val nn = children.length - 1
-            children(node)(c) = nn
+          node = buildChildren(node).getOrElse(c, {
+            buildChildren += mutable.LongMap.empty[Int]
+            buildFail += 0
+            buildOutputs += Nil
+            val nn = buildChildren.length - 1
+            buildChildren(node)(c) = nn
             nn
           })
           i += 1
         }
-        outputs(node) = t :: outputs(node)
+        buildOutputs(node) = t :: buildOutputs(node)
       }
       t += 1
     }
     // BFS failure links (standard construction; depth-1 nodes fail to root)
     val queue = mutable.Queue.empty[Int]
-    children(0).foreach { case (_, v) => fail(v) = 0; queue += v }
+    buildChildren(0).foreach { case (_, v) => buildFail(v) = 0; queue += v }
     while (queue.nonEmpty) {
       val u = queue.dequeue()
-      children(u).foreach { case (c, v) =>
-        var f = fail(u)
-        while (f != 0 && !children(f).contains(c)) f = fail(f)
-        val target = children(f).getOrElse(c, 0)
-        fail(v) = if (target == v) 0 else target
-        outputs(v) = outputs(v) ++ outputs(fail(v))
+      buildChildren(u).foreach { case (c, v) =>
+        var f = buildFail(u)
+        while (f != 0 && !buildChildren(f).contains(c)) f = buildFail(f)
+        val target = buildChildren(f).getOrElse(c, 0)
+        buildFail(v) = if (target == v) 0 else target
+        buildOutputs(v) = buildOutputs(v) ++ buildOutputs(buildFail(v))
         queue += v
       }
     }
+  }
+
+  // --- match phase: compact CSR-style arrays -----------------------------
+  // The scan is the hot loop of the whole engine (4 automaton passes per
+  // page): per-char hash lookups in a LongMap are cache-hostile and made
+  // the pipeline memory-bandwidth-bound (task time doubled from 2 to 8
+  // cores before this layout). Edges live in two contiguous arrays sorted
+  // per node, probed by a tiny binary search (nodes average < 2 edges);
+  // fail links and output heads are flat int arrays.
+  private val n = buildChildren.length
+  private val edgeStart = new Array[Int](n + 1)
+  private val edgeChar: Array[Char] = {
+    var total = 0
+    var i = 0
+    while (i < n) { edgeStart(i) = total; total += buildChildren(i).size; i += 1 }
+    edgeStart(n) = total
+    new Array[Char](total)
+  }
+  private val edgeDest = new Array[Int](edgeChar.length)
+  private val fail = new Array[Int](n)
+  private val outHead = new Array[Int](n) // index into outTerm, -1 = none
+  private val outTerm: Array[Int] = {
+    var i = 0
+    while (i < n) {
+      val es = buildChildren(i).toSeq.sortBy(_._1)
+      var j = edgeStart(i)
+      es.foreach { case (c, d) => edgeChar(j) = c.toChar; edgeDest(j) = d; j += 1 }
+      fail(i) = buildFail(i)
+      i += 1
+    }
+    val flat = mutable.ArrayBuffer.empty[Int]
+    i = 0
+    while (i < n) {
+      if (buildOutputs(i).isEmpty) outHead(i) = -1
+      else {
+        outHead(i) = flat.length
+        buildOutputs(i).foreach(flat += _)
+        flat += -1 // terminator
+      }
+      i += 1
+    }
+    flat.toArray
+  }
+  private val termsNorm: Array[String] = terms.map(norm)
+  locally { // release build structures
+    buildChildren.clear(); buildFail.clear(); buildOutputs.clear()
+  }
+
+  @inline private def childOf(node: Int, c: Char): Int = {
+    var lo = edgeStart(node)
+    var hi = edgeStart(node + 1) - 1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      val mc = edgeChar(mid)
+      if (mc == c) return edgeDest(mid)
+      else if (mc < c) lo = mid + 1
+      else hi = mid - 1
+    }
+    -1
   }
 
   @inline private def isWordChar(c: Char): Boolean =
@@ -95,12 +151,15 @@ final class MentionScanner private (
     var node = 0
     var i = 0
     while (i < text.length) {
-      val c = text.charAt(i).toLong
-      while (node != 0 && !children(node).contains(c)) node = fail(node)
-      node = children(node).getOrElse(c, 0)
-      if (outputs(node).nonEmpty) {
-        outputs(node).foreach { t =>
-          val w = norm(terms(t))
+      val c = text.charAt(i)
+      var next = childOf(node, c)
+      while (node != 0 && next < 0) { node = fail(node); next = childOf(node, c) }
+      node = if (next >= 0) next else 0
+      var oi = outHead(node)
+      if (oi >= 0) {
+        while (outTerm(oi) >= 0) {
+          val t = outTerm(oi)
+          val w = termsNorm(t)
           val start = i - w.length + 1
           val end = i + 1
           val wordAtStart = isWordChar(text.charAt(start))
@@ -115,6 +174,7 @@ final class MentionScanner private (
             hits += Model.Mention(text.substring(start, end), start, end)
             lastEnd(t.toLong) = end
           }
+          oi += 1
         }
       }
       i += 1
