@@ -166,6 +166,29 @@ class KgPipelineSpec extends SparkSpec {
     val n2 = spark.read.parquet(s"$outDir/triples").count()
     assert(n1 === n2)
   }
+
+  test("resume after partial failure: union of runs equals one clean run") {
+    val cleanDir = java.nio.file.Files.createTempDirectory("kgclean").toString
+    val partialDir = java.nio.file.Files.createTempDirectory("kgpartial").toString
+    val pages = Pages.fixtures(spark)
+    // ground truth: one clean run over everything
+    KgPipeline.runAndCommit(spark, pages, dims, client, cleanDir,
+      KgPipeline.Config(numPartitions = 4))
+    // simulate a crashed first attempt that committed only 2 urls
+    val firstHalf = pages.filter(
+      col("url").isin("https://fixtures.graft/sauk", "https://fixtures.graft/gold"))
+    KgPipeline.runAndCommit(spark, firstHalf, dims, client, partialDir,
+      KgPipeline.Config(numPartitions = 4))
+    // recovery: re-run over the FULL input with the same checkpoint
+    KgPipeline.runAndCommit(spark, pages, dims, client, partialDir,
+      KgPipeline.Config(numPartitions = 4))
+    val key = Seq("url", "subj_name", "predicate", "obj_name")
+    val clean = spark.read.parquet(s"$cleanDir/triples")
+      .select(key.map(col): _*).collect().map(_.toSeq).toSet
+    val recovered = spark.read.parquet(s"$partialDir/triples")
+      .select(key.map(col): _*).collect().map(_.toSeq).toSet
+    assert(recovered === clean)
+  }
 }
 
 class RdfSpec extends SparkSpec {
