@@ -161,8 +161,15 @@ object KgPipeline {
       .write.mode("append").partitionBy("url_bucket").parquet(s"$outDir/triples")
     res.lineage.write.mode("append").parquet(s"$outDir/lineage")
     res.rdf.foreach(_.write.mode("append").parquet(s"$outDir/rdf"))
-    // commit the done-set last: urls become "done" only after data landed
-    pages.select("url").write.mode("append").parquet(s"$outDir/checkpoint/done")
+    // commit the done-set last: urls become "done" only after data landed;
+    // append only NEWLY processed urls so the checkpoint table doesn't
+    // accumulate duplicates across resumed runs
+    val newUrls =
+      if (fsExists(spark, s"$outDir/checkpoint/done")) {
+        val done = spark.read.parquet(s"$outDir/checkpoint/done").select("url")
+        pages.select("url").join(broadcast(done), Seq("url"), "left_anti")
+      } else pages.select("url")
+    newUrls.write.mode("append").parquet(s"$outDir/checkpoint/done")
   }
 
   private def fsExists(spark: SparkSession, path: String): Boolean = {

@@ -186,10 +186,16 @@ final class MentionScanner private (
 object MentionScanner {
   // Executor-local automaton cache: one build per (dict identity, case mode)
   // per JVM, shared across tasks (SURVEY B5 executor-singleton pattern).
-  private val cache = new java.util.concurrent.ConcurrentHashMap[(Int, Boolean), MentionScanner]()
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, String, String, Boolean), MentionScanner]()
 
   def apply(terms: Array[String], ignoreCase: Boolean): MentionScanner = {
-    val key = (java.util.Arrays.hashCode(terms.asInstanceOf[Array[AnyRef]]), ignoreCase)
+    // content hash + length + boundary elements: a bare 32-bit array hash
+    // colliding across two dictionaries would silently reuse the wrong
+    // automaton for the lifetime of the executor
+    val key = (java.util.Arrays.hashCode(terms.asInstanceOf[Array[AnyRef]]),
+      terms.length, terms.headOption.getOrElse(""), terms.lastOption.getOrElse(""),
+      ignoreCase)
     cache.computeIfAbsent(key, _ => new MentionScanner(terms, ignoreCase))
   }
 }
