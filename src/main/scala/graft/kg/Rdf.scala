@@ -93,6 +93,15 @@ object Rdf {
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, (String, Boolean, String, String))]
     def add(subj: String, pred: String, obj: (String, Boolean, String, String)): Unit =
       out += ((subj, pred, obj))
+    // Per-feature isolation (reference: gkm/convert.py:69-77 — each feature
+    // is try/except-log-continue): a feature failing on odd data drops only
+    // its own triples, never the row or the task. Emissions are buffered
+    // and committed per feature.
+    def feature(body: => Unit): Unit = {
+      val mark = out.length
+      try body
+      catch { case _: Exception => out.remove(mark, out.length - mark) }
+    }
 
     // G2: object node id
     val objectNode =
@@ -120,6 +129,7 @@ object Rdf {
 
     if (objKind == Model.ObjKind.Strat) {
       // G3: stratigraphic type cascade (stratigraphy.py:89-114)
+      feature {
       val rankCls = s("rank").flatMap(RankClass.get)
         .orElse {
           s("strat_name").orElse(Some(objFinal)).flatMap { n =>
@@ -130,12 +140,16 @@ object Rdf {
         }
         .getOrElse(GSGU + "StratigraphicUnit")
       add(objectNode, RDF_ + "type", uri(rankCls))
+      }
 
       // G4: label (stratigraphy.py:117-131)
+      feature {
       val label = s("strat_name_long").orElse(s("strat_name")).getOrElse(objFinal)
       add(objectNode, RDFS_ + "label", lit(label, lang = "en"))
+      }
 
       // G5: rank relations (stratigraphy.py:134-196)
+      feature {
       for (selfRank <- s("rank").filter(RankOrder.contains)) {
         val selfOrd = RankOrder(selfRank)
         for (rk <- Seq("Bed", "Mbr", "Fm", "Gp", "SGp");
@@ -154,7 +168,10 @@ object Rdf {
         }
       }
 
+      }
+
       // G6: deposition age per unique period (stratigraphy.py:199-228)
+      feature {
       val periods = Seq(s("t_period"), s("b_period")).flatten.distinct
       periods.zipWithIndex.foreach { case (p, i) =>
         intervals.get(EntityNames.intervalName(p)).foreach { cls =>
@@ -167,8 +184,11 @@ object Rdf {
         }
       }
 
+      }
+
       // G7: time span (stratigraphy.py:231-271); 0.0 is falsy in Python —
       // the reference skips zero ages, so do we.
+      feature {
       for (t <- d("t_age") if t != 0.0; b <- d("b_age") if b != 0.0) {
         val bi = bnode(url, tripleKey, "timespan", 0)
         val bl = bnode(url, tripleKey, "timespan", 1)
@@ -189,8 +209,10 @@ object Rdf {
         add(br, GSOC + "hasStartValue", uri(bs))
         addMacrostratProv(bi)
       }
+      }
     } else {
       // G8: mineral type (mineral.py:18-35)
+      feature {
       add(objectNode, RDF_ + "type", uri(GSOG + "Rock_Material"))
       add(objectNode, RDF_ + "type",
         uri(GSRM + EntityNames.entityName(s("mineral").getOrElse(objFinal))))
@@ -200,9 +222,11 @@ object Rdf {
         s("formula").getOrElse("None")).mkString(", ")
       add(objectNode, RDFS_ + "label", lit(label, lang = "en"))
       addMacrostratProv(objectNode)
+      }
     }
 
     // G9: spatial location (general.py:199-240)
+    feature {
     val bLoc = bnode(url, tripleKey, "spatial", 0)
     val bVal = bnode(url, tripleKey, "spatial", 1)
     add(bLoc, RDF_ + "type", uri(GSOC + "SpatialLocation"))
@@ -229,9 +253,11 @@ object Rdf {
       add(geoQuery, PROV + "requestedAt", lit(requested, dt = XSD + "dateTime"))
       add(bWkt, PROV + "wasGeneratedBy", uri(geoQuery))
     }
+    }
 
     // G10: retrieval→model provenance chain (general.py:95-196), with the
     // xDD-specific hops mapped onto our pipeline's stages.
+    feature {
     val preproc = XDD + "GraftTextExtractor"
     val corpus = XDD + "GraftCorpus"
     val modelEntity = XDD + EntityNames.entityName(modelId)
@@ -249,6 +275,7 @@ object Rdf {
     add(modelQuery, PROV + "used", uri(modelEntity))
     add(modelQuery, PROV + "used", uri(corpus))
     add(objectNode, PROV + "wasGeneratedBy", uri(modelQuery))
+    }
 
     out.toSeq.map { case (sj, p, (o, isLit, lg, dt)) =>
       RdfTriple(url, sj, p, o, isLit, lg, dt)
