@@ -126,6 +126,21 @@ object KgQueries {
         .limit(10)
     },
 
+    // GraphOutput regrouping: the reference's output unit is a per-paragraph
+    // graph (schema.py:432-447 GraphOutput = text hash + triplet list); this
+    // regroups the exploded triples back to one row per page with a sorted,
+    // deterministic triplet-key digest.
+    "kg_graph_by_page" -> { (s, dir) =>
+      val locs = mentionsDf(s, dir, LocTerms).select(col("doc_id"), col("term").as("subj")).distinct()
+      val ents = mentionsDf(s, dir, EntTerms).select(col("doc_id"), col("term").as("obj")).distinct()
+      locs.join(ents, "doc_id")
+        .select(col("doc_id"),
+          concat_ws("|", col("subj"), lit("co_occurs_with"), col("obj")).as("tkey"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_triplets"),
+          concat_ws(";", array_sort(collect_list(col("tkey")))).as("graph_key"))
+    },
+
     // G1-G11: full RDF materialization over the reference fixture pages —
     // not SQL-expressible, so this records the driver's weaker rows-only
     // check; graph-level assertions live in RdfSpec.
@@ -212,6 +227,21 @@ object KgQueries {
           'https://macrostrat.org/lexicon/' || upper(term[1]) || term[2:] AS uri
           FROM documents CROSS JOIN (VALUES ${sqlList(EntTerms)}) t(term)
           WHERE regexp_matches(text, '\\b' || term || '\\b')""",
+    "kg_graph_by_page" ->
+      s"""WITH locs AS (
+            SELECT DISTINCT doc_id, term AS subj FROM documents
+            CROSS JOIN (VALUES ${sqlList(LocTerms)}) t(term)
+            WHERE regexp_matches(text, '\\b' || term || '\\b')),
+          ents AS (
+            SELECT DISTINCT doc_id, term AS obj FROM documents
+            CROSS JOIN (VALUES ${sqlList(EntTerms)}) t(term)
+            WHERE regexp_matches(text, '\\b' || term || '\\b')),
+          t AS (
+            SELECT locs.doc_id, subj || '|co_occurs_with|' || obj AS tkey
+            FROM locs JOIN ents ON locs.doc_id = ents.doc_id)
+          SELECT doc_id, count(*) AS n_triplets,
+            string_agg(tkey, ';' ORDER BY tkey) AS graph_key
+          FROM t GROUP BY doc_id""",
     "kg_retrieval_topk" ->
       """SELECT doc_id, score FROM (
            SELECT doc_id,

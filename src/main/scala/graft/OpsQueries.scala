@@ -32,11 +32,21 @@ object OpsQueries {
     "dedup_simhash" -> { (s, dir) => Dedup.simhashGroups(docs(s, dir)) },
 
     "dedup_jaccard" -> { (s, dir) =>
-      Dedup.jaccard(docs(s, dir).filter(col("doc_id") < 200), 0.8)
+      Dedup.jaccardAllPairs(docs(s, dir).filter(col("doc_id") < 200), 0.8)
     },
 
+    // End-to-end dedup resolution: LSH candidates → candidate-restricted
+    // Jaccard verification → connected-component clusters with min-id
+    // keep/drop. The full 10^12-doc composition in one query.
+    "dedup_resolve" -> { (s, dir) =>
+      Dedup.dedupe(docs(s, dir).filter(col("doc_id") < 500), 0.8)
+    },
+
+    // Random-hyperplane LSH bucketing before exact cosine — no unbounded
+    // crossJoin in the plan (the synthetic corpus has no 0.95-cosine pairs;
+    // 0.35 keeps the verification stage non-vacuous).
     "dedup_embedding" -> { (s, dir) =>
-      Similarity.cosineNearDup(embs(s, dir), maxId = 300, minCos = 0.95)
+      Similarity.lshNearDup(embs(s, dir), numHyperplanes = 8, bands = 2, minCos = 0.35)
     },
 
     "sim_cosine_topk" -> { (s, dir) =>
@@ -155,15 +165,61 @@ object OpsQueries {
          JOIN sz sa ON sa.doc_id = doc_a
          JOIN sz sb ON sb.doc_id = doc_b
          WHERE round(inter * 1.0 / (sa.sz + sb.sz - inter) + 1e-9, 4) >= 0.8""",
+    "dedup_resolve" ->
+      s"""WITH RECURSIVE tok AS (
+            SELECT DISTINCT doc_id, tok FROM (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents WHERE doc_id < 500) WHERE tok <> ''),
+          sigs AS (SELECT doc_id, $minhashSigs FROM tok GROUP BY doc_id),
+          bands AS (${bandExprs.map { case (b, e) =>
+            s"SELECT doc_id, $b AS band, $e AS band_hash FROM sigs" }
+            .mkString(" UNION ALL ")}),
+          cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.band_hash = b.band_hash
+            WHERE a.doc_id < b.doc_id),
+          sz AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id),
+          inter AS (
+            SELECT doc_a, doc_b, count(*) AS inter
+            FROM cand
+            JOIN tok ta ON ta.doc_id = doc_a
+            JOIN tok tb ON tb.doc_id = doc_b AND ta.tok = tb.tok
+            GROUP BY doc_a, doc_b),
+          verified AS (
+            SELECT doc_a, doc_b FROM inter
+            JOIN sz sa ON sa.doc_id = doc_a
+            JOIN sz sb ON sb.doc_id = doc_b
+            WHERE round(inter * 1.0 / (sa.sz + sb.sz - inter) + 1e-9, 4) >= 0.8),
+          edges AS (SELECT doc_a AS a, doc_b AS b FROM verified
+                    UNION ALL SELECT doc_b, doc_a FROM verified),
+          lbl(doc_id, comp) AS (
+            SELECT a, a FROM edges
+            UNION
+            SELECT e.b, l.comp FROM lbl l JOIN edges e ON e.a = l.doc_id)
+          SELECT doc_id, min(comp) AS cluster_id, doc_id = min(comp) AS keep
+          FROM lbl GROUP BY doc_id""",
     "dedup_embedding" ->
       """WITH e AS (
            SELECT vec_id, embedding::DOUBLE[] AS emb,
              sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
-           FROM embeddings WHERE vec_id < 300)
-         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           round(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 4) AS cos_sim
-         FROM e a JOIN e b ON a.vec_id < b.vec_id
-         WHERE round(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 4) >= 0.95""",
+           FROM embeddings),
+         anchors AS (SELECT vec_id AS h_id, emb AS hyper FROM e WHERE vec_id < 8),
+         bits AS (
+           SELECT e.vec_id, a.h_id // 4 AS band, a.h_id,
+             CASE WHEN list_dot_product(e.emb, a.hyper) >= 0 THEN '1' ELSE '0' END AS bit
+           FROM e CROSS JOIN anchors a),
+         sigs AS (
+           SELECT vec_id, band, string_agg(bit, '' ORDER BY h_id) AS band_sig
+           FROM bits GROUP BY vec_id, band),
+         cand AS (
+           SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+           FROM sigs a JOIN sigs b
+             ON a.band = b.band AND a.band_sig = b.band_sig AND a.vec_id < b.vec_id)
+         SELECT id_a, id_b,
+           round(list_dot_product(ea.emb, eb.emb) / (ea.nrm * eb.nrm), 4) AS cos_sim
+         FROM cand JOIN e ea ON ea.vec_id = id_a JOIN e eb ON eb.vec_id = id_b
+         WHERE round(list_dot_product(ea.emb, eb.emb) / (ea.nrm * eb.nrm), 4) >= 0.35""",
     "sim_cosine_topk" ->
       """WITH q AS (SELECT embedding::DOUBLE[] AS q FROM embeddings WHERE vec_id = 0)
          SELECT vec_id,

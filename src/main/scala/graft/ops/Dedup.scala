@@ -89,15 +89,8 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc_id"))
       .filter(col("n_docs") > 1)
 
-  /** Token-set Jaccard for all pairs within `pairs` (doc_a < doc_b), or for
-    * all pairs of `docs` when pairs is None (bounded inputs only). */
-  def jaccard(docs: DataFrame, minJaccard: Double): DataFrame = {
-    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+  private def jaccardOf(tok: DataFrame, inter: DataFrame, minJaccard: Double): DataFrame = {
     val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val inter = tok.select(col("doc_id").as("doc_a"), col("tok"))
-      .join(tok.select(col("doc_id").as("doc_b"), col("tok")), "tok")
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
       .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
@@ -105,5 +98,50 @@ object Dedup {
         round(col("inter") / (col("sz_a") + col("sz_b") - col("inter")) + TextOps.RoundEps, 4))
       .filter(col("jaccard") >= minJaccard)
       .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** Token-set Jaccard over ALL pairs of `docs` — the verification baseline
+    * for BOUNDED inputs only (the token self-join is O(pairs-per-token); at
+    * corpus scale use [[jaccard]] with an LSH candidate set instead). */
+  def jaccardAllPairs(docs: DataFrame, minJaccard: Double): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val inter = tok.select(col("doc_id").as("doc_a"), col("tok"))
+      .join(tok.select(col("doc_id").as("doc_b"), col("tok")), "tok")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    jaccardOf(tok, inter, minJaccard)
+  }
+
+  /** Candidate-restricted token-set Jaccard — the 10^12-doc shape: token
+    * intersections are computed ONLY for the supplied candidate pairs
+    * (doc_a, doc_b), never all-pairs. Both joins are equi-joins on doc id /
+    * (doc id, token); work is O(|candidates| x tokens-per-doc). */
+  def jaccard(docs: DataFrame, candidates: DataFrame, minJaccard: Double): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val inter = candidates.select("doc_a", "doc_b")
+      .join(tok.select(col("doc_id").as("doc_a"), col("tok")), "doc_a")
+      .join(tok.select(col("doc_id").as("doc_b"), col("tok")), Seq("doc_b", "tok"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    jaccardOf(tok, inter, minJaccard)
+  }
+
+  /** Duplicate-cluster resolution: connected components over verified
+    * duplicate pairs (transitivity: if A~B and B~C, all three are one
+    * cluster even when A~C was never verified). Output one row per doc
+    * appearing in any pair: (doc_id, cluster_id = min doc id of the
+    * cluster, keep = this doc is the cluster's min-id winner). Reuses the
+    * engine's CC operator (graft.kg.Canonicalizer) — same min-label
+    * propagation that canonicalizes entities. */
+  def resolve(verifiedPairs: DataFrame): DataFrame =
+    graft.kg.Canonicalizer.connectedComponents(
+      verifiedPairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+      .select(col("id").as("doc_id"), col("component").as("cluster_id"),
+        (col("id") === col("component")).as("keep"))
+
+  /** The composed end-to-end dedup pipeline: LSH candidates → candidate-
+    * restricted Jaccard verification → cluster resolution. */
+  def dedupe(docs: DataFrame, minJaccard: Double): DataFrame = {
+    val cands = minhashCandidates(docs)
+    resolve(jaccard(docs, cands, minJaccard))
   }
 }

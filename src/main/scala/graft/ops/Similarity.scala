@@ -73,15 +73,42 @@ object Similarity {
       .limit(k)
   }
 
-  /** Embedding near-duplicate pairs: cosine >= minCos within a bounded id
-    * range (driver-gate variant; production uses LSH/IVF buckets first). */
-  def cosineNearDup(embeddings: DataFrame, maxId: Long, minCos: Double): DataFrame = {
-    val e = embeddings.filter(col("vec_id") < maxId)
-      .select(col("vec_id"), col("embedding"),
-        norm(col("embedding")).as("nrm"))
-    val l = e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
-    val r = e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
-    l.crossJoin(r).filter(col("id_a") < col("id_b"))
+  /** Embedding near-duplicate pairs via random-hyperplane LSH — the
+    * 10^12-row shape: no all-pairs join anywhere in the plan.
+    *
+    *  1. signature: bit h = sign(v . hyperplane_h). Hyperplanes are the
+    *     first `numHyperplanes` corpus vectors (deterministic and
+    *     reproducible in any engine; a production run would use seeded
+    *     Gaussian planes — only the anchor table changes).
+    *  2. banding: the signature splits into `bands` equal bit-groups;
+    *     vectors sharing ANY band's bit-pattern become candidates — an
+    *     equi-join on (band, band_sig), exactly the MinHash-LSH trick.
+    *  3. verify: exact cosine >= minCos on candidates only.
+    *
+    * The only crossJoin is against the broadcast `numHyperplanes`-row
+    * anchor table (bounded by construction). */
+  def lshNearDup(embeddings: DataFrame, numHyperplanes: Int, bands: Int,
+                 minCos: Double): DataFrame = {
+    val rows = numHyperplanes / bands
+    val e = embeddings.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm"))
+    val anchors = e.filter(col("vec_id") < numHyperplanes)
+      .select(col("vec_id").as("h_id"), col("embedding").as("hyper"))
+    val bits = e.crossJoin(broadcast(anchors))
+      .select(col("vec_id"), (col("h_id") / rows).cast("int").as("band"), col("h_id"),
+        when(dot(col("embedding"), col("hyper")) >= 0, lit("1")).otherwise(lit("0")).as("bit"))
+    val sigs = bits.groupBy("vec_id", "band")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("h_id"), col("bit")))),
+        x => x.getField("bit")), "").as("band_sig"))
+    val cand = sigs.as("a").join(sigs.as("b"),
+        col("a.band") === col("b.band") && col("a.band_sig") === col("b.band_sig") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .distinct()
+    cand
+      .join(e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"), col("nrm").as("nrm_a")), "id_a")
+      .join(e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"), col("nrm").as("nrm_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         round(dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")), 4).as("cos_sim"))
       .filter(col("cos_sim") >= minCos)

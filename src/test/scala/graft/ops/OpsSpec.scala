@@ -47,13 +47,59 @@ class DedupSpec extends SparkSpec {
   }
 
   test("jaccard: 8/10 shared distinct tokens for the near-dup pair") {
-    val j = Dedup.jaccard(docs, 0.0).collect()
+    val j = Dedup.jaccardAllPairs(docs, 0.0).collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) -> r.getAs[Double]("jaccard"))
       .toMap
     assert(j((0L, 1L)) === 1.0)
     assert(j((3L, 4L)) === 1.0)
     // docs 0,2: tokens {the,quick,brown,fox,jumps,over,lazy,dog|cat}: 7 of 9
     assert(math.abs(j((0L, 2L)) - 7.0 / 9.0) < 0.001)
+  }
+
+  test("candidate-restricted jaccard agrees with all-pairs on the candidate set") {
+    val cands = Dedup.minhashCandidates(docs)
+    val restricted = Dedup.jaccard(docs, cands, 0.0).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) -> r.getAs[Double]("jaccard"))
+      .toMap
+    val all = Dedup.jaccardAllPairs(docs, 0.0).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) -> r.getAs[Double]("jaccard"))
+      .toMap
+    val candSet = cands.collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(restricted.keySet === candSet.intersect(all.keySet))
+    restricted.foreach { case (k, v) => assert(v === all(k)) }
+  }
+
+  test("dedupe pipeline: candidates ⊇ verified, resolved docs = verified-pair docs, min-id keep") {
+    val cands = Dedup.minhashCandidates(docs)
+    val verified = Dedup.jaccard(docs, cands, 0.7)
+    val resolved = Dedup.resolve(verified)
+
+    val candSet = cands.collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val verSet = verified.collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(verSet.nonEmpty && verSet.subsetOf(candSet))
+
+    val byDoc = resolved.collect()
+      .map(r => r.getAs[Long]("doc_id") -> (r.getAs[Long]("cluster_id"), r.getAs[Boolean]("keep")))
+      .toMap
+    // every resolved doc appeared in a verified pair, and vice versa
+    assert(byDoc.keySet === verSet.flatMap(p => Set(p._1, p._2)))
+    // exact-dup pairs cluster with the min id as the single keeper
+    assert(byDoc(0L)._1 === 0L && byDoc(1L)._1 === 0L)
+    assert(byDoc(0L)._2 && !byDoc(1L)._2)
+    assert(byDoc(3L)._1 === 3L && byDoc(4L)._1 === 3L && byDoc(3L)._2 && !byDoc(4L)._2)
+  }
+
+  test("resolve is transitive: A~B, B~C one cluster without an A~C edge") {
+    import spark.implicits._
+    val verified = Seq((10L, 11L), (11L, 12L), (20L, 21L)).toDF("doc_a", "doc_b")
+    val got = Dedup.resolve(verified).collect()
+      .map(r => r.getAs[Long]("doc_id") -> (r.getAs[Long]("cluster_id"), r.getAs[Boolean]("keep")))
+      .toMap
+    assert(got(10L) === ((10L, true)))
+    assert(got(11L) === ((10L, false)))
+    assert(got(12L) === ((10L, false)))
+    assert(got(20L) === ((20L, true)))
+    assert(got(21L) === ((20L, false)))
   }
 }
 
@@ -90,11 +136,26 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf === brute)
   }
 
-  test("cosine near-dup finds intra-cluster pairs only") {
-    val pairs = Similarity.cosineNearDup(embs, maxId = 40, minCos = 0.95).collect()
+  test("LSH near-dup: buckets split sign-opposed clusters, verify stage exact") {
+    // two antipodal clusters: +e0-ish and -e0-ish — hyperplane signs
+    // separate them, so no cross-cluster candidate can survive
+    val rows = for (id <- 0L until 24L) yield {
+      val sign = if (id % 2 == 0) 1.0 else -1.0
+      val v = Array.fill(8)(0.0)
+      v(0) = sign
+      v(1 + (id % 7).toInt) = 0.05 * sign
+      (id, v.toSeq)
+    }
+    import spark.implicits._
+    val e = rows.toDF("vec_id", "embedding")
+    val pairs = Similarity.lshNearDup(e, numHyperplanes = 4, bands = 2, minCos = 0.9)
+      .collect()
     assert(pairs.nonEmpty)
+    // only same-sign (same-cluster) pairs
     assert(pairs.forall { r =>
-      r.getAs[Long]("id_a") % 4 === r.getAs[Long]("id_b") % 4 })
+      r.getAs[Long]("id_a") % 2 === r.getAs[Long]("id_b") % 2 })
+    // verification stage is exact cosine
+    assert(pairs.forall(_.getAs[Double]("cos_sim") >= 0.9))
   }
 }
 
