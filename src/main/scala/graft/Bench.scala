@@ -90,7 +90,7 @@ object Bench {
       alias.count()
       val prepared = kg.Hydrator.prepare(dims).cached()
       prepared.stratKeyed.count(); prepared.mineralKeyed.count()
-      prepared.gaz.count()
+      prepared.gaz.count(); prepared.lithKeyed.count()
       val pages = scalingPages(spark, sfDir, repl, amp, shard, nShards)
       val nPages = pages.count()
       val t0 = System.nanoTime()

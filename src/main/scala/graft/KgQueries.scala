@@ -109,6 +109,30 @@ object KgQueries {
         .select(col("doc_id"), col("term"), col("n"), col("dim_id"), col("category"))
     },
 
+    // Lithology pipeline kind (schema.py:63-98, EntityType.LITHOLOGY):
+    // surface variants of the pinned lith vocabulary run the REAL align →
+    // canonicalize → hydrate chain against the lith dim (exact-name,
+    // first-hit). Self-contained — the lith dim is a pinned constant, so
+    // the oracle inlines the same rows.
+    "kg_lith_hydrate" -> { (s, dir) =>
+      import s.implicits._
+      val dims = Dims.tiny(s)
+      val variants = Dims.pinnedLith.map(_.lith).toDF("lith_name")
+        .withColumn("surface", explode(array(col("lith_name"),
+          initcap(col("lith_name")), concat(col("lith_name"), lit(".")))))
+        .select(
+          lit("https://q/lith").as("url"), lit("h").as("hashed_text"),
+          lit("m").as("model_id"), lit("Wisconsin").as("subj_name"),
+          lit("contains").as("predicate"),
+          col("surface").as("obj_name"), lit(Model.ObjKind.Lith).as("obj_kind"))
+      val aligned = Linker.align(variants, Linker.aliasDim(dims))
+      val canonical = Canonicalizer(aligned)
+      val hydrated = Hydrator.hydrate(canonical, dims,
+        java.sql.Timestamp.valueOf("2024-06-01 00:00:00"))
+      hydrated.select(col("obj_name").as("surface"), col("obj_final"),
+        col("lith"), col("lith_id"), col("lith_type"), col("lith_class"))
+    },
+
     // G2/P6: entity-name formatting to URI-safe node ids — via the native
     // codegen'd Catalyst expression (graft.plans.Expressions), not a UDF.
     "kg_entity_uri" -> { (s, dir) =>
@@ -222,6 +246,25 @@ object KgQueries {
           SELECT doc_id, term, n, dim_id, category
           FROM (SELECT * FROM m WHERE n > 0) m
           LEFT JOIN dim ON m.term = dim.name""",
+    "kg_lith_hydrate" -> {
+      val lithValues = kg.Dims.pinnedLith
+        .map(r => s"('${r.lith}', ${r.lith_id}, '${r.lith_type}', '${r.lith_class}')")
+        .mkString(", ")
+      s"""WITH lithdim AS (
+            SELECT * FROM (VALUES $lithValues) d(lith, lith_id, lith_type, lith_class)),
+          variants AS (
+            SELECT unnest([lith, upper(lith[1]) || lith[2:], lith || '.']) AS surface
+            FROM lithdim),
+          keyed AS (
+            SELECT surface,
+              regexp_replace(regexp_replace(lower(trim(surface)), '\\.+$$', ''), '\\s+', ' ', 'g') AS norm
+            FROM variants),
+          canon AS (
+            SELECT surface, norm, min(surface) OVER (PARTITION BY norm) AS obj_final
+            FROM keyed)
+          SELECT surface, obj_final, lith, lith_id, lith_type, lith_class
+          FROM canon JOIN lithdim ON norm = lith"""
+    },
     "kg_entity_uri" ->
       s"""SELECT DISTINCT term,
           'https://macrostrat.org/lexicon/' || upper(term[1]) || term[2:] AS uri

@@ -37,6 +37,14 @@ object Dims {
       hardness_min: Double, hardness_max: Double, crystal_form: String,
       mineral_color: String, lustre: String, macrostrat_version: Int)
 
+  /** Lithology record (reference: text2graph/schema.py:63-98 Lithology —
+    * name, lith_id, type, group, class, color, fill, t_units; hydrated from
+    * /defs/lithologies with exact=True, first hit). */
+  final case class LithRow(
+      lith: String, lith_id: Long, lith_type: String, lith_group: String,
+      lith_class: String, lith_color: String, lith_fill: Long, t_units: Long,
+      macrostrat_version: Int)
+
   final case class IntervalRow(name: String, int_type: String)
   final case class GazetteerRow(name: String, lat: Double, lon: Double)
   final case class StratGpsRow(strat_name_long: String, clat: Double, clng: Double)
@@ -108,16 +116,53 @@ object Dims {
       s"$BaseUrl/defs/minerals?mineral_id=102", 1.5, 1.5, "orthorhombic",
       "silver white", "metallic", MacrostratVersion))
 
-  /** Geologic periods for the interval dim
-    * (reference: text2graph/gkm/features/stratigraphy.py:68-86 builds this
-    * from /defs/intervals; the period set is public stratigraphy). */
-  val intervals: Seq[IntervalRow] = Seq(
-    "Quaternary", "Neogene", "Paleogene", "Cretaceous", "Jurassic",
-    "Triassic", "Permian", "Carboniferous", "Devonian", "Silurian",
-    "Ordovician", "Cambrian", "Ediacaran", "Cryogenian", "Tonian")
-    .map(IntervalRow(_, "period")) ++ Seq(
-    IntervalRow("Paleozoic", "era"), IntervalRow("Mesozoic", "era"),
-    IntervalRow("Cenozoic", "era"))
+  /** Interval dim across ALL interval types, mirroring the breadth of the
+    * reference's INTERVAL_LOOKUP (text2graph/gkm/features/stratigraphy.py:
+    * 68-86 builds one GST class per Macrostrat interval — eons, eras,
+    * periods, sub-periods, epochs, ages — not just periods). The names are
+    * public ICS/Macrostrat stratigraphy; a b_period like "Early Ordovician"
+    * or "Mississippian" must map instead of silently dropping (G6). */
+  val intervals: Seq[IntervalRow] = {
+    val periods = Seq(
+      "Quaternary", "Neogene", "Paleogene", "Cretaceous", "Jurassic",
+      "Triassic", "Permian", "Carboniferous", "Devonian", "Silurian",
+      "Ordovician", "Cambrian", "Ediacaran", "Cryogenian", "Tonian")
+      .map(IntervalRow(_, "period"))
+    val eras = Seq("Paleozoic", "Mesozoic", "Cenozoic",
+      "Paleoproterozoic", "Mesoproterozoic", "Neoproterozoic")
+      .map(IntervalRow(_, "era"))
+    val eons = Seq("Phanerozoic", "Proterozoic", "Archean", "Hadean")
+      .map(IntervalRow(_, "eon"))
+    val subPeriods = Seq("Mississippian", "Pennsylvanian")
+      .map(IntervalRow(_, "sub-period"))
+    val epochs = (Seq("Ordovician", "Devonian", "Triassic", "Jurassic")
+      .flatMap(p => Seq(s"Early $p", s"Middle $p", s"Late $p")) ++
+      Seq("Early Cretaceous", "Late Cretaceous",
+        "Llandovery", "Wenlock", "Ludlow", "Pridoli",
+        "Paleocene", "Eocene", "Oligocene", "Miocene", "Pliocene",
+        "Pleistocene", "Holocene"))
+      .map(IntervalRow(_, "epoch"))
+    val ages = Seq("Tremadocian", "Floian", "Hirnantian", "Rhuddanian",
+      "Telychian", "Sheinwoodian", "Katian", "Sandbian")
+      .map(IntervalRow(_, "age"))
+    periods ++ eras ++ eons ++ subPeriods ++ epochs ++ ages
+  }
+
+  /** Pinned lithology rows — names/types/classes are public Macrostrat
+    * /defs/lithologies vocabulary (ids synthetic but deterministic, like
+    * the non-golden strat rows). Single-word names keep surface-variant
+    * generation engine-portable in the oracle queries. */
+  val pinnedLith: Seq[LithRow] = Seq(
+    LithRow("sandstone", 10, "siliciclastic", "sands", "sedimentary", "#FFD500", 607, 100, MacrostratVersion),
+    LithRow("shale", 1, "siliciclastic", "muds", "sedimentary", "#CCEBC5", 620, 200, MacrostratVersion),
+    LithRow("limestone", 30, "carbonate", "", "sedimentary", "#4BB6E8", 627, 300, MacrostratVersion),
+    LithRow("dolomite", 31, "carbonate", "", "sedimentary", "#8DD3C7", 642, 150, MacrostratVersion),
+    LithRow("granite", 70, "plutonic", "", "igneous", "#E31A1C", 719, 50, MacrostratVersion),
+    LithRow("basalt", 80, "volcanic", "", "igneous", "#B15928", 717, 60, MacrostratVersion),
+    LithRow("chert", 40, "chemical", "", "sedimentary", "#FB9A99", 632, 40, MacrostratVersion),
+    LithRow("siltstone", 11, "siliciclastic", "muds", "sedimentary", "#FDBF6F", 616, 80, MacrostratVersion),
+    LithRow("gabbro", 71, "plutonic", "", "igneous", "#CAB2D6", 721, 20, MacrostratVersion),
+    LithRow("schist", 90, "metamorphic", "", "metamorphic", "#6A3D9A", 702, 30, MacrostratVersion))
 
   /** Gazetteer fixture rows (FIXTURES.md §3). */
   val gazetteer: Seq[GazetteerRow] = Seq(
@@ -176,12 +221,12 @@ object Dims {
     */
   final case class Snapshot(
       stratDim: DataFrame, mineralDim: DataFrame, intervalDim: DataFrame,
-      gazetteerDim: DataFrame, stratGpsDim: DataFrame) {
+      gazetteerDim: DataFrame, stratGpsDim: DataFrame, lithDim: DataFrame) {
     /** Cache every dim (driver-built LocalRelations re-encode on each use
       * otherwise — snapshot tables are read-many by design). */
     def persisted(): Snapshot =
       Snapshot(stratDim.cache(), mineralDim.cache(), intervalDim.cache(),
-        gazetteerDim.cache(), stratGpsDim.cache())
+        gazetteerDim.cache(), stratGpsDim.cache(), lithDim.cache())
   }
 
   def snapshot(spark: SparkSession, bulkStrat: Int = 45646 - 13,
@@ -192,13 +237,14 @@ object Dims {
       (pinnedMinerals ++ syntheticMinerals(bulkMinerals)).toDF(),
       intervals.toDF(),
       gazetteer.toDF(),
-      stratGps.toDF())
+      stratGps.toDF(),
+      pinnedLith.toDF())
   }
 
   /** Tiny snapshot for unit tests and the driver-gate oracle queries. */
   def tiny(spark: SparkSession): Snapshot = {
     import spark.implicits._
     Snapshot(pinnedStrat.toDF(), pinnedMinerals.toDF(), intervals.toDF(),
-      gazetteer.toDF(), stratGps.toDF())
+      gazetteer.toDF(), stratGps.toDF(), pinnedLith.toDF())
   }
 }

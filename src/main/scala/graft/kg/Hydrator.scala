@@ -39,9 +39,11 @@ object Hydrator {
     * bootstrap work, not per-page work; callers on a hot path cache these.
     */
   final case class Prepared(
-      stratKeyed: DataFrame, mineralKeyed: DataFrame, gaz: DataFrame) {
+      stratKeyed: DataFrame, mineralKeyed: DataFrame, gaz: DataFrame,
+      lithKeyed: DataFrame) {
     def cached(): Prepared =
-      Prepared(stratKeyed.cache(), mineralKeyed.cache(), gaz.cache())
+      Prepared(stratKeyed.cache(), mineralKeyed.cache(), gaz.cache(),
+        lithKeyed.cache())
   }
 
   def prepare(dims: Dims.Snapshot): Prepared = {
@@ -95,7 +97,16 @@ object Hydrator {
     val gaz = firstHit(
       dims.gazetteerDim.select(col("name").as("gaz_name"), col("lat"), col("lon")),
       "gaz_name", "gaz_name")
-    Prepared(stratKeyed, mineralKeyed, gaz)
+
+    // Lithology lookup: exact=True in the reference (schema.py:74-77 —
+    // single-name API match, no long-form alias), so the lith dim keys on
+    // its one name column only; first-hit by lith_id mirrors hit[0].
+    val lithKeyed = firstHit(
+      dims.lithDim.select("lith", "lith_id", "lith_type", "lith_group",
+        "lith_class", "macrostrat_version"),
+      "lith", "lith_id")
+      .withColumnRenamed("macrostrat_version", "lith_macrostrat_version")
+    Prepared(stratKeyed, mineralKeyed, gaz, lithKeyed)
   }
 
   def hydrate(triples: DataFrame, dims: Dims.Snapshot,
@@ -108,7 +119,7 @@ object Hydrator {
     * elements + requested_at provenance timestamp. */
   def hydratePrepared(triples: DataFrame, prepared: Prepared,
                       jobStart: java.sql.Timestamp): DataFrame = {
-    val Prepared(stratKeyed, mineralKeyed, gaz) = prepared
+    val Prepared(stratKeyed, mineralKeyed, gaz, lithKeyed) = prepared
 
     val withStrat = triples
       .withColumn("obj_join", Linker.normName(col("obj_final")))
@@ -124,7 +135,13 @@ object Hydrator {
       .drop("min_join")
       .withColumn("elements", elementsUdf(col("formula")))
 
-    val hydrated = withMineral
+    val withLith = withMineral
+      .join(broadcast(lithKeyed.withColumnRenamed("join_norm", "lith_join")),
+        col("obj_kind") === Model.ObjKind.Lith && col("obj_join") === col("lith_join"),
+        "left")
+      .drop("lith_join")
+
+    val hydrated = withLith
       .withColumn("subj_join", Linker.normName(col("subj_name")))
       .join(broadcast(gaz.withColumnRenamed("join_norm", "gaz_join")),
         col("subj_join") === col("gaz_join"), "left")
@@ -140,9 +157,18 @@ object Hydrator {
     def prov(name: Column, urlC: Column, version: Column): Column =
       struct(name.as("source_name"), urlC.as("source_url"),
         version.as("source_version"), col("requested_at").as("requested"))
+    // prompt-handler hop right after the model hop — the reference stores
+    // the prompt version inside the ask-LLM provenance record
+    // (text2graph/llm.py:302-311 additional_values.prompt); flattened here
+    // as its own hop. Nulls out (and compacts away) on promptless runs.
+    val promptVersionCol =
+      if (hydrated.columns.contains("prompt_version")) col("prompt_version")
+      else lit(null).cast("string")
     val provenance = array_compact(array(
       prov(lit("GraftTextExtractor"), col("url"), lit("html-text-v1")),
       prov(col("model_id"), col("url"), col("model_id")),
+      when(promptVersionCol.isNotNull && promptVersionCol =!= "",
+        prov(lit("PromptHandler"), col("url"), promptVersionCol)),
       when(col("strat_name").isNotNull,
         prov(lit("Macrostrat"),
           concat(lit(s"${Dims.BaseUrl}/defs/strat_names?strat_name_id="),
@@ -151,6 +177,12 @@ object Hydrator {
       when(col("mineral").isNotNull,
         prov(lit("Macrostrat"), col("mineral_url"),
           col("mineral_macrostrat_version").cast("string"))),
+      // lithology hop (reference: schema.py:94-98 — provenance url is
+      // /defs/lithologies?lith_id=<hit>)
+      when(col("lith").isNotNull,
+        prov(lit("Macrostrat"),
+          concat(lit(s"${Dims.BaseUrl}/defs/lithologies?lith_id="), col("lith_id")),
+          col("lith_macrostrat_version").cast("string"))),
       when(col("formula_source") === "Mindat",
         prov(lit("Mindat"), lit("https://api.mindat.org/"), lit("1.0"))),
       when(col("subj_lat").isNotNull,

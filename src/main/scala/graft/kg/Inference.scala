@@ -24,7 +24,13 @@ import org.apache.spark.sql.functions._
   */
 object Inference {
 
-  final case class Request(url: String, hashed_text: String, text: String, lang: String)
+  /** One inference request. `prompt` is the handler-built, template-wrapped
+    * prompt (dictionary pre-annotation included — reference:
+    * text2graph/prompt.py:41-67 + chtc/preprocess_extraction_direct.py:130);
+    * empty when the stage runs promptless (dev tools). Deterministic
+    * clients extract from `text`; a real LLM client consumes `prompt`. */
+  final case class Request(url: String, hashed_text: String, text: String,
+                           lang: String, prompt: String = "")
 
   trait InferenceClient extends Serializable {
     def modelId: String
@@ -141,19 +147,48 @@ object Inference {
     new FixtureClient(FixtureClient.referenceRecordings,
       new HeuristicClient(stratNames, locationNames, mineralNames))
 
+  /** Prompt-stage spec: one handler plus the dictionary whose mentions are
+    * injected into its system prompt (reference builds one handler per job,
+    * text2graph/llm.py:281 `prompt_handler.get_gpt_messages(text)`; our
+    * unified pipeline runs both kinds, so the wrapped prompts concatenate). */
+  type HandlerDict = (Prompts.Handler, Array[String])
+
+  def promptVersion(prompting: Seq[HandlerDict]): String =
+    prompting.map(_._1.version).mkString("+")
+
   /** The mapPartitions host. Input must carry (url, hashed_text, text, lang);
-    * output adds (raw, model_id). Micro-batch default follows the
-    * reference's chosen operating point of 200
-    * (reference: chtc/preprocess_extraction_direct.py:68; BASELINE.md). */
-  def run(pages: DataFrame, client: InferenceClient, microBatch: Int = 200): Dataset[Model.RawExtraction] = {
+    * output adds (raw, model_id, prompt_version). Micro-batch default
+    * follows the reference's chosen operating point of 200
+    * (reference: chtc/preprocess_extraction_direct.py:68; BASELINE.md).
+    *
+    * When `prompting` is non-empty, each request's prompt is built in-task
+    * before the client call: per-handler dictionary scan (JVM-cached
+    * Aho-Corasick automaton, B5) → known-entity system prompt → Mixtral
+    * instruction wrap — the seam a real LLM client plugs into
+    * (reference: text2graph/llm.py:281-311). */
+  def run(pages: DataFrame, client: InferenceClient, microBatch: Int = 200,
+          prompting: Seq[HandlerDict] = Seq.empty): Dataset[Model.RawExtraction] = {
     val spark = pages.sparkSession
     import spark.implicits._
-    pages.select("url", "hashed_text", "text", "lang").as[Request]
+    val pv = promptVersion(prompting)
+    pages.select(col("url"), col("hashed_text"), col("text"), col("lang"),
+        lit("").as("prompt")).as[Request]
       .mapPartitions { it =>
+        val handlers = prompting.map { case (h, terms) =>
+          (h, MentionScanner(terms, h.ignoreCase))
+        }
         it.grouped(microBatch).flatMap { batch =>
-          val outs = client.infer(batch)
-          batch.iterator.zip(outs.iterator).map { case (r, raw) =>
-            Model.RawExtraction(r.url, r.hashed_text, r.lang, raw, client.modelId)
+          val reqs =
+            if (handlers.isEmpty) batch
+            else batch.map { r =>
+              val prompt = handlers.map { case (h, sc) =>
+                Prompts.mixtralWrap(h.messages(r.text, sc))
+              }.mkString("\n\n")
+              r.copy(prompt = prompt)
+            }
+          val outs = client.infer(reqs)
+          reqs.iterator.zip(outs.iterator).map { case (r, raw) =>
+            Model.RawExtraction(r.url, r.hashed_text, r.lang, raw, client.modelId, pv)
           }
         }
       }

@@ -31,13 +31,23 @@ object KgPipeline {
       saltedAlign: Boolean = false,
       saltBuckets: Int = 16,
       canonicalize: Boolean = true,
+      // false => entity space is known-unbounded (open-vocabulary web
+      // extraction): go straight to distributed CC, skip the driver probe.
+      canonLocalProbe: Boolean = true,
       emitRdf: Boolean = false,
       checkpointDir: Option[String] = None,
       jobStart: java.sql.Timestamp = java.sql.Timestamp.valueOf("2024-06-01 00:00:00"),
       // Prebuilt bootstrap artifacts (dictionary dedup windows, alias
       // normalization) — build + cache once per job, reuse across runs.
       prebuiltAlias: Option[DataFrame] = None,
-      preparedDims: Option[Hydrator.Prepared] = None)
+      preparedDims: Option[Hydrator.Prepared] = None,
+      // Prompt stage (SURVEY P2; reference: text2graph/llm.py:281-311):
+      // handlers whose known-entity system prompts are built per page
+      // before the client call. None => derive both reference handlers'
+      // dictionaries from the dim snapshot (one driver-side collect of the
+      // dictionary columns — bootstrap, not per-page work); Some(Seq())
+      // disables prompting.
+      promptDicts: Option[Seq[Inference.HandlerDict]] = None)
 
   final case class Result(
       triples: DataFrame,
@@ -46,13 +56,16 @@ object KgPipeline {
 
   /** Columns of the output triples table (FIXTURES.md §5). */
   val TripleColumns: Seq[String] = Seq(
-    "url", "hashed_text", "model_id", "subj_name", "subj_lat", "subj_lon",
+    "url", "hashed_text", "model_id", "prompt_version",
+    "subj_name", "subj_lat", "subj_lon",
     "predicate", "obj_name", "obj_canonical", "obj_final", "obj_kind",
     "obj_linked", "entity_cluster_id",
     "strat_name", "strat_name_long", "rank", "strat_name_id", "concept_id",
     "b_age", "t_age", "b_period", "t_period",
     "mineral", "mineral_id", "mineral_type", "formula", "formula_source",
-    "elements", "provenance", "requested_at")
+    "elements",
+    "lith", "lith_id", "lith_type", "lith_group", "lith_class",
+    "provenance", "requested_at")
 
   private val extractUdf = udf((html: Array[Byte]) => HtmlText.extract(html))
 
@@ -90,8 +103,13 @@ object KgPipeline {
     // downstream work distribution + lineage.
     val extracted = slim.repartition(cfg.numPartitions, col("url"))
 
-    // B2/B3: batched inference hosted in mapPartitions.
-    val raw = Inference.run(extracted, client, cfg.microBatch)
+    // P2 + B2/B3: prompt construction + batched inference in mapPartitions.
+    val prompting = cfg.promptDicts.getOrElse(Seq(
+      Prompts.StratV3 -> dims.stratDim.select("strat_name")
+        .collect().map(_.getString(0)),
+      Prompts.MineralV0 -> dims.mineralDim.select("mineral")
+        .collect().map(_.getString(0))))
+    val raw = Inference.run(extracted, client, cfg.microBatch, prompting)
 
     // P3/P4/P5: lenient parse → validated triples. PERSISTED: this is the
     // pipeline's stage boundary — canonicalization iterates over it and
@@ -112,7 +130,7 @@ object KgPipeline {
 
     // CC canonicalization over the candidate-pair edges.
     val canonical =
-      if (cfg.canonicalize) Canonicalizer(aligned)
+      if (cfg.canonicalize) Canonicalizer(aligned, cfg.canonLocalProbe)
       else aligned.withColumn("obj_final", col("obj_canonical"))
         .withColumn("entity_cluster_id", xxhash64(col("obj_kind"), col("obj_canonical")))
 

@@ -54,6 +54,9 @@ object Linker {
     val minerals = dims.mineralDim.select(
       col("mineral").as("alias"), col("mineral").as("canonical"),
       lit(Model.ObjKind.Mineral).as("kind"), col("mineral_id").as("priority"))
+    val liths = dims.lithDim.select(
+      col("lith").as("alias"), col("lith").as("canonical"),
+      lit(Model.ObjKind.Lith).as("kind"), col("lith_id").as("priority"))
     val usgs = {
       val spark = dims.mineralDim.sparkSession
       import spark.implicits._
@@ -64,7 +67,8 @@ object Linker {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("kind"), col("alias_norm"))
       .orderBy(col("priority"), col("alias"))
-    strat.unionByName(stratLong).unionByName(minerals).unionByName(usgs)
+    strat.unionByName(stratLong).unionByName(minerals).unionByName(liths)
+      .unionByName(usgs)
       .withColumn("alias_norm", normName(col("alias")))
       .filter(col("alias_norm") =!= "")
       .withColumn("rn", row_number().over(w))

@@ -39,13 +39,17 @@ object Model {
       requested: Timestamp)
 
   /** Raw model output per page — JSON string, shape of the reference's
-    * `raw_llm_output` fixture (reference: tests/conftest.py:22-24). */
+    * `raw_llm_output` fixture (reference: tests/conftest.py:22-24).
+    * `prompt_version` records which prompt handler(s) built the request —
+    * the reference stores it in the ask-LLM provenance hop
+    * (reference: text2graph/llm.py:302-311 additional_values.prompt). */
   final case class RawExtraction(
       url: String,
       hashed_text: String,
       lang: String,
       raw: String,
-      model_id: String)
+      model_id: String,
+      prompt_version: String)
 
   /** Parsed, validated triple before linking
     * (reference: text2graph/schema.py:417-429; llm.py:174-196). */
@@ -73,5 +77,8 @@ object Model {
   object ObjKind {
     val Strat = "strat"
     val Mineral = "mineral"
+    // third declared reference record type (text2graph/schema.py:63-98
+    // Lithology; macrostrat.py:45 EntityType.LITHOLOGY)
+    val Lith = "lith"
   }
 }

@@ -79,10 +79,14 @@ object PostProcess {
         val rel = textOrJoin(t.get("relationship"))
         val strat = textOrJoin(t.get("stratigraphic_name"))
         val mineral = textOrJoin(t.get("mineral_name"))
+        // third declared record type (schema.py:63-98); no reference prompt
+        // handler emits it today, but the record/hydration route exists.
+        val lith = textOrJoin(t.get("lithology_name"))
         (loc, rel) match {
           case (Some(l), Some(r)) if l.nonEmpty =>
             strat.filter(_.nonEmpty).map(s => ParsedTriplet(l, r, s, Model.ObjKind.Strat))
               .orElse(mineral.filter(_.nonEmpty).map(m => ParsedTriplet(l, r, m, Model.ObjKind.Mineral)))
+              .orElse(lith.filter(_.nonEmpty).map(x => ParsedTriplet(l, r, x, Model.ObjKind.Lith)))
           case _ => None
         }
       }
@@ -106,9 +110,12 @@ object PostProcess {
   private val parseUdf = udf((raw: String) =>
     parseOne(raw).map(p => (p.location, p.relationship, p.obj_name, p.obj_kind)))
 
-  def triplesDf(raw: DataFrame): DataFrame =
+  def triplesDf(raw: DataFrame): DataFrame = {
+    val pv = if (raw.columns.contains("prompt_version")) col("prompt_version")
+             else lit("").as("prompt_version")
     raw.withColumn("t", explode(parseUdf(col("raw"))))
-      .select(col("url"), col("hashed_text"), col("model_id"),
+      .select(col("url"), col("hashed_text"), col("model_id"), pv,
         col("t._1").as("subj_name"), col("t._2").as("predicate"),
         col("t._3").as("obj_name"), col("t._4").as("obj_kind"))
+  }
 }

@@ -108,13 +108,16 @@ object Rdf {
       if (objKind == Model.ObjKind.Strat) {
         val name = s("strat_name_long").orElse(s("strat_name")).getOrElse(objFinal)
         MSL + EntityNames.entityName(name)
-      } else XDD + EntityNames.entityName(s("mineral").getOrElse(objFinal))
+      } else if (objKind == Model.ObjKind.Mineral)
+        XDD + EntityNames.entityName(s("mineral").getOrElse(objFinal))
+      else XDD + EntityNames.entityName(s("lith").getOrElse(objFinal))
 
     // Macrostrat provenance chain attached to hydrated nodes
     // (reference: gkm/features/general.py:19-54); only when dim fields hit.
     val hydratedFromDim =
       (objKind == Model.ObjKind.Strat && s("strat_name").isDefined) ||
-      (objKind == Model.ObjKind.Mineral && s("mineral").isDefined)
+      (objKind == Model.ObjKind.Mineral && s("mineral").isDefined) ||
+      (objKind == Model.ObjKind.Lith && s("lith").isDefined)
     val macroEntity = MSL + "Macrostrat"
     val macroQuery = MSL + "MacrostratQuery"
     def addMacrostratProv(attributed: String): Unit = if (hydratedFromDim) {
@@ -210,7 +213,7 @@ object Rdf {
         addMacrostratProv(bi)
       }
       }
-    } else {
+    } else if (objKind == Model.ObjKind.Mineral) {
       // G8: mineral type (mineral.py:18-35)
       feature {
       add(objectNode, RDF_ + "type", uri(GSOG + "Rock_Material"))
@@ -220,6 +223,19 @@ object Rdf {
         s("mineral").getOrElse(objFinal),
         s("mineral_type").getOrElse("None"),
         s("formula").getOrElse("None")).mkString(", ")
+      add(objectNode, RDFS_ + "label", lit(label, lang = "en"))
+      addMacrostratProv(objectNode)
+      }
+    } else {
+      // Lithology: the reference GKM has no lithology feature module, so
+      // the graph contribution mirrors the mineral shape minus the GSRM
+      // class: rock-material typing + "name, type, class" label.
+      feature {
+      add(objectNode, RDF_ + "type", uri(GSOG + "Rock_Material"))
+      val label = Seq(
+        s("lith").getOrElse(objFinal),
+        s("lith_type").getOrElse("None"),
+        s("lith_class").getOrElse("None")).mkString(", ")
       add(objectNode, RDFS_ + "label", lit(label, lang = "en"))
       addMacrostratProv(objectNode)
       }
@@ -291,7 +307,14 @@ object Rdf {
   def fromHydrated(hydrated: DataFrame, dims: Dims.Snapshot): Dataset[RdfTriple] = {
     val spark = hydrated.sparkSession
     import spark.implicits._
-    val intervals: Map[String, String] = dims.intervalDim.collect()
+    // Bounded driver collect: the interval vocabulary is geologic-time
+    // nomenclature (Macrostrat ships ~1.2k intervals) — cap it so a
+    // mis-wired dim can never turn this into an unbounded collect.
+    val maxIntervals = 100 * 1000
+    val intervalRows = dims.intervalDim.limit(maxIntervals + 1).collect()
+    require(intervalRows.length <= maxIntervals,
+      s"interval dim exceeds $maxIntervals rows — not an interval vocabulary")
+    val intervals: Map[String, String] = intervalRows
       .map(r => EntityNames.intervalName(r.getAs[String]("name")) ->
         intervalClass(r.getAs[String]("name"), r.getAs[String]("int_type")))
       .toMap

@@ -34,6 +34,23 @@ class CanonicalizerSpec extends SparkSpec {
     assert(byName("Abbey head bed.")._2 === byName("Abbey Head Bed")._2)
   }
 
+  test("distributed path without the driver probe equals the local path") {
+    val dims = Dims.tiny(spark)
+    val triples = Seq(
+      ("u1", "h1", "m", "Minnesota", "contains", "Abbey head bed.", "strat"),
+      ("u2", "h2", "m", "Minnesota", "contains", "Gold", "mineral"),
+      ("u3", "h3", "m", "Minnesota", "contains", "Abbey Head Bed", "strat"))
+      .toDF("url", "hashed_text", "model_id", "subj_name", "predicate", "obj_name", "obj_kind")
+    val aligned = Linker.align(triples, Linker.aliasDim(dims))
+    val local = Canonicalizer(aligned, localProbe = true)
+      .select("obj_name", "obj_final", "entity_cluster_id")
+      .collect().map(_.toSeq).toSet
+    val dist = Canonicalizer(aligned, localProbe = false)
+      .select("obj_name", "obj_final", "entity_cluster_id")
+      .collect().map(_.toSeq).toSet
+    assert(dist === local)
+  }
+
   test("salted alignment equals broadcast alignment") {
     val dims = Dims.tiny(spark)
     val triples = Seq(
@@ -49,6 +66,20 @@ class CanonicalizerSpec extends SparkSpec {
       .select("url", "obj_name", "obj_canonical", "obj_linked")
       .collect().map(_.toSeq).toSet
     assert(a === b)
+  }
+}
+
+/** JVM-shared prompt capture (local-mode executor threads share this
+  * object even though task closures are serialized). */
+object PromptCapture {
+  val prompts = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  final class CapturingClient(inner: Inference.InferenceClient)
+      extends Inference.InferenceClient {
+    val modelId = inner.modelId
+    def infer(batch: Seq[Inference.Request]): Seq[String] = {
+      batch.foreach(r => prompts.add(r.prompt))
+      inner.infer(batch)
+    }
   }
 }
 
@@ -139,19 +170,62 @@ class KgPipelineSpec extends SparkSpec {
     assert(row.getAs[Seq[String]]("elements") === Seq("Ca", "F"))
   }
 
+  test("lithology kind: pinned record hydrates exact-name first-hit (schema.py:63-98)") {
+    // a raw output carrying the third record type flows the whole pipeline
+    val raw = """{"triplets": [{"location": "Wisconsin", "relationship": "contains", "lithology_name": "Sandstone."}]}"""
+    val text = "lith test page"
+    val recClient = new Inference.FixtureClient(
+      Map(Inference.FixtureClient.sha256(text) -> raw), client)
+    val pages = Seq(("https://t/lith", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+      HtmlText.render(text, "en"), text, "en"))
+      .toDF("url", "warc_ts", "html", "text", "lang")
+    val r = KgPipeline.run(spark, pages, dims, recClient, KgPipeline.Config(numPartitions = 2))
+    val row = r.triples.collect().head
+    assert(row.getAs[String]("obj_kind") === "lith")
+    // "Sandstone." aligns to the dim name, hydrates the pinned record
+    assert(row.getAs[String]("lith") === "sandstone")
+    assert(row.getAs[Long]("lith_id") === 10L)
+    assert(row.getAs[String]("lith_type") === "siliciclastic")
+    assert(row.getAs[String]("lith_class") === "sedimentary")
+    // lithology provenance hop present with the lith_id url
+    val prov = row.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("provenance")
+    assert(prov.exists(p => p.getAs[String]("source_url").endsWith("/defs/lithologies?lith_id=10")))
+  }
+
   test("provenance chain: oldest-to-newest hops, conditional on hydration") {
     val row = triples.filter(col("url") === "https://fixtures.graft/gold").collect().head
     val chain = row.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("provenance")
       .map(_.getAs[String]("source_name"))
-    // extractor → model → Macrostrat (gold hit) → GeocodeAPI (Minnesota hit)
+    // extractor → model → prompt handler → Macrostrat (gold hit) → GeocodeAPI
     assert(chain === Seq("GraftTextExtractor", "graft-fixture+graft-heuristic-v1",
-      "Macrostrat", "GeocodeAPI"))
+      "PromptHandler", "Macrostrat", "GeocodeAPI"))
     val unhydrated = triples.filter(col("obj_final") === "Black Rock").collect().head
     val chain2 = unhydrated.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("provenance")
       .map(_.getAs[String]("source_name"))
     // subject "southern and eastern flanks..." has no gazetteer row → no geo hop
     assert(chain2 === Seq("GraftTextExtractor", "graft-fixture+graft-heuristic-v1",
-      "Macrostrat"))
+      "PromptHandler", "Macrostrat"))
+  }
+
+  test("prompt stage: gallium pre-annotation reaches the client; version in provenance") {
+    PromptCapture.prompts.clear()
+    val pages = Seq(("https://t/gallium", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+      HtmlText.render("There is gallium near Madison, WI.", "en"),
+      "There is gallium near Madison, WI.", "en"))
+      .toDF("url", "warc_ts", "html", "text", "lang")
+    val capturing = new PromptCapture.CapturingClient(client)
+    val r = KgPipeline.run(spark, pages, dims, capturing, KgPipeline.Config(numPartitions = 2))
+    val row = r.triples.collect().head
+    // prompt_version lands in the output column and the provenance array
+    assert(row.getAs[String]("prompt_version") === "stratname_v3+mineral_v0")
+    val provVersions = row.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("provenance")
+      .map(p => p.getAs[String]("source_name") -> p.getAs[String]("source_version")).toMap
+    assert(provVersions("PromptHandler") === "stratname_v3+mineral_v0")
+    // the dictionary pre-annotation (known-entities CSV) reached the client
+    import scala.jdk.CollectionConverters._
+    val prompts = PromptCapture.prompts.asScala.toSeq
+    assert(prompts.nonEmpty)
+    assert(prompts.exists(p => p.contains("gallium") && p.contains("[INST]")))
   }
 
   test("resume: second run is incremental and idempotent") {
@@ -222,6 +296,24 @@ class RdfSpec extends SparkSpec {
   test("deposition age links interval class (G6)") {
     val dep = rdf.filter(col("obj") === s"${Rdf.GST}OrdovicianPeriod").count()
     assert(dep > 0)
+  }
+
+  test("non-period intervals map too: Early Ordovician epoch, Mississippian sub-period (G6)") {
+    // the reference's INTERVAL_LOOKUP covers every Macrostrat interval type
+    // (stratigraphy.py:68-86); an epoch-valued b_period must emit a
+    // deposition triple, not silently drop.
+    val hydrated = Seq(
+      ("https://t/epoch", "EpochTest", "overlies", "strat", "EpochTest",
+        "Early Ordovician", "Early Ordovician"),
+      ("https://t/subperiod", "SubPeriodTest", "overlies", "strat", "SubPeriodTest",
+        "Mississippian", "Mississippian"))
+      .toDF("url", "subj_name", "predicate", "obj_kind", "obj_final",
+        "b_period", "t_period")
+    val got = Rdf.fromHydrated(hydrated, dims).collect()
+    assert(got.exists(t => t.pred == s"${Rdf.GSOC}occupiesTimeDirectly" &&
+      t.obj == s"${Rdf.GST}EarlyOrdovicianEpoch"))
+    assert(got.exists(t => t.obj == s"${Rdf.GST}MississippianSub-Period"))
+    assert(got.exists(t => t.obj == "Deposition during Early Ordovician" && t.lang == "en"))
   }
 
   test("WKT literal format is byte-exact (G9, general.py:231)") {
