@@ -34,6 +34,24 @@ object KgQueries {
   private def sqlList(terms: Seq[String]): String =
     terms.map(t => s"('$t')").mkString(", ")
 
+  /** Pinned golden triple set for the kg_rdf_triples oracle — the gate
+    * analogue of the reference's golden TTL files (tests/fixtures/
+    * test_triplet_to_rdf_*.ttl at tests/test_gkm.py:107-117): the fixture
+    * pipeline's full RDF output, frozen as a VALUES relation. Parity with
+    * the reference's asserted atoms is proven by GoldenTtlSpec/RdfSpec;
+    * this catches any regression of the other ~550 rows at the gate.
+    * Regenerate via graft.tools.GoldenRdf after intentional changes. */
+  private lazy val goldenRdfValues: String = {
+    val in = getClass.getResourceAsStream("/golden/kg_rdf_triples.tsv")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    try src.getLines().map { line =>
+      val Array(u, s, p, o) = line.split("\t", -1)
+      def q(v: String) = "'" + v.replace("'", "''") + "'"
+      s"(${q(u)}, ${q(s)}, ${q(p)}, ${q(o)})"
+    }.mkString(", ")
+    finally src.close()
+  }
+
   val queries: Map[String, Q] = Map(
     // P11 + §7.2-1: page synthesis + the byte-identical extract invariant.
     // extracted_hash is computed by running extract(render(text)) — it can
@@ -291,7 +309,8 @@ object KgQueries {
              len(regexp_extract_all(text, '\bspark\b')) +
              len(regexp_extract_all(text, '\bjoin\b')) AS score
            FROM documents)
-         WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 10"""
-    // kg_rdf_triples: intentionally no oracle (non-SQL-expressible op)
+         WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 10""",
+    "kg_rdf_triples" ->
+      s"SELECT * FROM (VALUES $goldenRdfValues) t(url, subj, pred, obj)"
   )
 }
