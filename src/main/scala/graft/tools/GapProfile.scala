@@ -49,15 +49,21 @@ object GapProfile {
     spark.sparkContext.addSparkListener(listener)
 
     val dims = graft.kg.Dims.snapshot(spark).persisted()
+    val stratTerms = (graft.kg.Dims.pinnedStrat.map(_.strat_name) ++
+      graft.KgQueries.EntTerms ++
+      graft.kg.Dims.syntheticStrat(45000).map(_.strat_name)).toArray
     val client = graft.kg.Inference.defaultClient(
-      (graft.kg.Dims.pinnedStrat.map(_.strat_name) ++ graft.KgQueries.EntTerms ++
-        graft.kg.Dims.syntheticStrat(45000).map(_.strat_name)).toArray,
+      stratTerms,
       graft.kg.Dims.gazetteer.map(_.name).toArray ++ graft.KgQueries.LocTerms,
       graft.kg.Dims.pinnedMinerals.map(_.mineral).toArray)
     client.infer(Seq(graft.kg.Inference.Request("w", "w", "warm spark join", "en")))
     val alias = graft.kg.Linker.aliasDim(dims).cache(); alias.count()
     val prepared = graft.kg.Hydrator.prepare(dims).cached()
-    prepared.stratKeyed.count(); prepared.mineralKeyed.count(); prepared.gaz.count()
+    prepared.stratKeyed.count(); prepared.mineralKeyed.count()
+    prepared.gaz.count(); prepared.lithKeyed.count()
+    val promptDicts: Seq[graft.kg.Inference.HandlerDict] = Seq(
+      graft.kg.Prompts.StratV3 -> stratTerms,
+      graft.kg.Prompts.MineralV0 -> graft.kg.Dims.pinnedMinerals.map(_.mineral).toArray)
     val pages = graft.Bench.scalingPages(spark, sfDir, repl, 24)
     pages.count()
 
@@ -65,7 +71,8 @@ object GapProfile {
     val t0 = System.currentTimeMillis()
     val res = graft.kg.KgPipeline.run(spark, pages, dims, client,
       graft.kg.KgPipeline.Config(numPartitions = cores * 2,
-        prebuiltAlias = Some(alias), preparedDims = Some(prepared)))
+        prebuiltAlias = Some(alias), preparedDims = Some(prepared),
+        promptDicts = Some(promptDicts)))
     val n = res.triples.count()
     val wall = System.currentTimeMillis() - t0
     Thread.sleep(500) // let listener drain

@@ -26,27 +26,31 @@ object TimedRegion {
     }
 
     val dims = Dims.snapshot(spark).persisted()
+    val stratTerms = (Dims.pinnedStrat.map(_.strat_name) ++ KgQueries.EntTerms ++
+      Dims.syntheticStrat(45000).map(_.strat_name)).toArray
     val client = Inference.defaultClient(
-      (Dims.pinnedStrat.map(_.strat_name) ++ KgQueries.EntTerms ++
-        Dims.syntheticStrat(45000).map(_.strat_name)).toArray,
+      stratTerms,
       Dims.gazetteer.map(_.name).toArray ++ KgQueries.LocTerms,
       Dims.pinnedMinerals.map(_.mineral).toArray)
     client.infer(Seq(Inference.Request("w", "w", "warm spark table join", "en")))
     val alias = Linker.aliasDim(dims).cache(); alias.count()
     val prepared = Hydrator.prepare(dims).cached()
     prepared.stratKeyed.count(); prepared.mineralKeyed.count()
-    prepared.gaz.count()
+    prepared.gaz.count(); prepared.lithKeyed.count()
+    val prompting: Seq[Inference.HandlerDict] = Seq(
+      Prompts.StratV3 -> stratTerms,
+      Prompts.MineralV0 -> Dims.pinnedMinerals.map(_.mineral).toArray)
     val pages = Bench.scalingPages(spark, sfDir, repl, 12)
     pages.count()
 
-    // ---- timed region, decomposed ----
+    // ---- timed region, decomposed (mirrors KgPipeline.run stages) ----
     val partitioned = pages.repartition(cores * 2, col("url"))
     val extracted = partitioned
       .withColumn("extracted_text", udf((h: Array[Byte]) => HtmlText.extract(h)).apply(col("html")))
       .withColumn("extract_ok", sha2(col("extracted_text"), 256) === sha2(col("text"), 256))
       .drop("text").withColumnRenamed("extracted_text", "text")
       .withColumn("hashed_text", sha2(col("text"), 256))
-    val raw = Inference.run(extracted, client, 200)
+    val raw = Inference.run(extracted, client, 200, prompting)
     val parsed = time("extract+infer+parse") {
       val p = PostProcess.triplesDf(raw.toDF())
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
