@@ -33,7 +33,8 @@ object OpsQueries {
 
     // SimHash near-dup: Hamming <= 3 over a 32-bit fingerprint via
     // pigeonhole block banding (equi-join candidates, exact xor verify).
-    "dedup_simhash_near" -> { (s, dir) => Dedup.simhashNearDup(docs(s, dir)) },
+    "dedup_simhash_near" -> { (s, dir) =>
+      Dedup.simhashNearDup(docs(s, dir).filter(col("doc_id") < 500)) },
 
     "dedup_jaccard" -> { (s, dir) =>
       Dedup.jaccardAllPairs(docs(s, dir).filter(col("doc_id") < 200), 0.8)
@@ -175,7 +176,7 @@ object OpsQueries {
       s"""WITH tok AS (
             SELECT DISTINCT doc_id, tok FROM (
               SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-              FROM documents) WHERE tok <> ''),
+              FROM documents WHERE doc_id < 500) WHERE tok <> ''),
           sums AS (SELECT doc_id, ${simhashSumsN(32)} FROM tok GROUP BY doc_id),
           fp AS (SELECT doc_id, (${simhashFpN(32)})::BIGINT AS simhash FROM sums),
           blocks AS (
