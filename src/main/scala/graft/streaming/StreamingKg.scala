@@ -35,15 +35,21 @@ object StreamingKg {
   def pagesStream(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(PageSchema).parquet(dir)
 
-  /** Streaming triple extraction: extract → infer → parse → align.
-    * Identical per-row semantics to the batch pipeline (same functions). */
+  /** Streaming triple extraction: extract → prompt-build → infer → parse →
+    * align. Identical per-row semantics to the batch pipeline (same
+    * functions, including the prompt stage — stateless, so it streams). */
   def triplesStream(pages: DataFrame, dims: Dims.Snapshot,
                     client: Inference.InferenceClient,
                     microBatch: Int = 200): DataFrame = {
+    val prompting: Seq[Inference.HandlerDict] = Seq(
+      Prompts.StratV3 -> dims.stratDim.select("strat_name")
+        .collect().map(_.getString(0)),
+      Prompts.MineralV0 -> dims.mineralDim.select("mineral")
+        .collect().map(_.getString(0)))
     val extracted = pages
       .withColumn("text", udf((h: Array[Byte]) => HtmlText.extract(h)).apply(col("html")))
       .withColumn("hashed_text", sha2(col("text"), 256))
-    val raw = Inference.run(extracted, client, microBatch)
+    val raw = Inference.run(extracted, client, microBatch, prompting)
     val parsed = PostProcess.triplesDf(raw.toDF())
     Linker.align(parsed, Linker.aliasDim(dims))
   }
