@@ -190,6 +190,31 @@ object KgPipeline {
     newUrls.write.mode("append").parquet(s"$outDir/checkpoint/done")
   }
 
+  /** Run + snapshot-commit: triples and the resume `done` set publish in
+    * ONE atomic snapshot (graft.sources.SnapshotStore — the Iceberg-commit
+    * stand-in). Compared to [[runAndCommit]]'s write-data-then-mark-done
+    * two-step (the reference's shape, chtc/db.py:56-66), a crash anywhere
+    * here leaves the store exactly at the previous snapshot: no partial
+    * data, no done-urls without data, and a re-run converges to the same
+    * final table (exactly-once with deterministic stages). */
+  def runAndCommitSnapshot(spark: SparkSession, pages: DataFrame, dims: Dims.Snapshot,
+                           client: Inference.InferenceClient, tableDir: String,
+                           cfg: Config = Config()): Int = {
+    import graft.sources.SnapshotStore
+    val done = SnapshotStore.read(spark, tableDir, "done")
+    val todo = done match {
+      case Some(d) => pages.join(broadcast(d.select("url")), Seq("url"), "left_anti")
+      case None => pages
+    }
+    val res = run(spark, todo, dims, client, cfg)
+    val triples = res.triples
+      .withColumn("url_bucket", pmod(xxhash64(col("url")), lit(64)))
+    SnapshotStore.commit(spark, tableDir, Map(
+      "triples" -> triples,
+      "lineage" -> res.lineage,
+      "done" -> todo.select("url")))
+  }
+
   private def fsExists(spark: SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)

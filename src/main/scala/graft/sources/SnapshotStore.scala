@@ -1,0 +1,135 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Snapshot-isolated multi-table store — the offline stand-in for the
+  * Iceberg commit protocol the north rule's input table implies (no
+  * Iceberg runtime ships in /opt/spark/jars, so the *semantics* are
+  * implemented on plain parquet + atomic manifest publication):
+  *
+  *  - a snapshot is an immutable JSON manifest listing, per logical table,
+  *    the exact data files visible in that version;
+  *  - writers stage parquet files under `stage/v<N>/<table>/`, then
+  *    publish by writing the manifest to a temp name and RENAMING it to
+  *    `snapshots/v<N>.json` — rename is the atomic primitive (fails if the
+  *    destination exists), giving optimistic concurrency: a losing writer
+  *    re-reads the head and retries at the next version;
+  *  - readers resolve the highest committed version and read only its
+  *    files — uncommitted staging data is invisible, so a writer crash
+  *    between staging and publish leaves the table exactly at the prior
+  *    snapshot (snapshot isolation), and a re-run converges to the same
+  *    final state (exactly-once with deterministic stages);
+  *  - old versions stay readable (time travel) until a retention sweep.
+  *
+  * Multiple logical tables commit in ONE manifest, so the triples table
+  * and the resume `done` set move atomically — strictly stronger than the
+  * reference's commit-data-then-mark-done two-step (chtc/db.py:56-66),
+  * which can crash between the two writes.
+  */
+object SnapshotStore {
+
+  final case class Snapshot(version: Int, tables: Map[String, Seq[String]])
+
+  private def fs(spark: SparkSession, dir: String): FileSystem =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def snapshotPath(dir: String, v: Int) =
+    new Path(f"$dir/snapshots/v$v%05d.json")
+
+  /** Highest committed version, 0 if none. */
+  def currentVersion(spark: SparkSession, dir: String): Int = {
+    val f = fs(spark, dir)
+    val p = new Path(s"$dir/snapshots")
+    if (!f.exists(p)) return 0
+    f.listStatus(p).map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") && n.endsWith(".json") =>
+        n.stripPrefix("v").stripSuffix(".json").toInt }
+      .foldLeft(0)(math.max)
+  }
+
+  def readSnapshot(spark: SparkSession, dir: String, v: Int): Snapshot = {
+    val f = fs(spark, dir)
+    val in = f.open(snapshotPath(dir, v))
+    val json = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    parse(json, v)
+  }
+
+  /** Read a logical table at a version (default: latest). Empty DataFrames
+    * are not representable without a schema, so reading an absent/empty
+    * table returns None. */
+  def read(spark: SparkSession, dir: String, table: String,
+           version: Option[Int] = None): Option[DataFrame] = {
+    val v = version.getOrElse(currentVersion(spark, dir))
+    if (v == 0) return None
+    val files = readSnapshot(spark, dir, v).tables.getOrElse(table, Nil)
+    if (files.isEmpty) None else Some(spark.read.parquet(files: _*))
+  }
+
+  /** Atomically commit new data for several logical tables (append
+    * semantics: new files are added to each table's prior file list).
+    * Returns the committed version. Retries on publish conflict. */
+  def commit(spark: SparkSession, dir: String,
+             tables: Map[String, DataFrame], maxRetries: Int = 10): Int = {
+    val f = fs(spark, dir)
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val base = currentVersion(spark, dir)
+      val v = base + 1
+      // stage: write each table's new files under this candidate version
+      val staged: Map[String, Seq[String]] = tables.map { case (name, df) =>
+        val stageDir = s"$dir/stage/v$v/$name"
+        df.write.mode("overwrite").parquet(stageDir)
+        val files = f.listStatus(new Path(stageDir))
+          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+          .map(_.getPath.toString).toSeq.sorted
+        name -> files
+      }
+      val prev: Map[String, Seq[String]] =
+        if (base == 0) Map.empty else readSnapshot(spark, dir, base).tables
+      val merged = (prev.keySet ++ staged.keySet).map { t =>
+        t -> (prev.getOrElse(t, Nil) ++ staged.getOrElse(t, Nil))
+      }.toMap
+      // publish: temp write + atomic rename; rename-to-existing fails =>
+      // another writer won this version, retry against the new head
+      val tmp = new Path(s"$dir/snapshots/.tmp-v$v-${Thread.currentThread().getId}.json")
+      f.mkdirs(new Path(s"$dir/snapshots"))
+      val out = f.create(tmp, true)
+      try out.write(render(Snapshot(v, merged)).getBytes("UTF-8")) finally out.close()
+      if (f.rename(tmp, snapshotPath(dir, v))) return v
+      f.delete(tmp, false)
+      attempt += 1
+    }
+    throw new IllegalStateException(s"snapshot commit lost $maxRetries races in $dir")
+  }
+
+  // ---- minimal deterministic JSON (no extra deps) -------------------------
+
+  private def q(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  private def render(s: Snapshot): String = {
+    val tables = s.tables.toSeq.sortBy(_._1).map { case (t, files) =>
+      s"${q(t)}: [${files.map(q).mkString(", ")}]"
+    }.mkString(", ")
+    s"""{"version": ${s.version}, "tables": {$tables}}"""
+  }
+
+  private def parse(json: String, v: Int): Snapshot = {
+    // manifests are machine-written by render(); parse with the same
+    // constrained shape (string lists keyed by table name)
+    val tableRe = """"([^"]+)":\s*\[([^\]]*)\]""".r
+    val fileRe = """"((?:[^"\\]|\\.)*)"""".r
+    val body = json.substring(json.indexOf("\"tables\""))
+    val tables = tableRe.findAllMatchIn(body).filterNot(_.group(1) == "tables")
+      .map { m =>
+        val files = fileRe.findAllMatchIn(m.group(2)).map(_.group(1)).toSeq
+        m.group(1) -> files
+      }.toMap
+    Snapshot(v, tables)
+  }
+}

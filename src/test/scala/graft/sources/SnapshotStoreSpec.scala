@@ -1,0 +1,101 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.kg._
+import org.apache.spark.sql.functions._
+
+class SnapshotStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String) =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  test("commit/read roundtrip; appends union across versions; time travel") {
+    val dir = tmp("snap")
+    val v1 = SnapshotStore.commit(spark, dir,
+      Map("t" -> Seq((1L, "a"), (2L, "b")).toDF("id", "v")))
+    assert(v1 === 1)
+    val v2 = SnapshotStore.commit(spark, dir,
+      Map("t" -> Seq((3L, "c")).toDF("id", "v")))
+    assert(v2 === 2)
+    val latest = SnapshotStore.read(spark, dir, "t").get
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(latest === Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // time travel: v1 sees only the first commit
+    val old = SnapshotStore.read(spark, dir, "t", Some(1)).get
+      .collect().map(_.getLong(0)).toSet
+    assert(old === Set(1L, 2L))
+  }
+
+  test("snapshot isolation: staged-but-unpublished data is invisible") {
+    val dir = tmp("snapiso")
+    SnapshotStore.commit(spark, dir, Map("t" -> Seq((1L, "a")).toDF("id", "v")))
+    // simulate a writer that crashed after staging, before publish
+    Seq((99L, "crash")).toDF("id", "v")
+      .write.mode("overwrite").parquet(s"$dir/stage/v2/t")
+    assert(SnapshotStore.currentVersion(spark, dir) === 1)
+    val seen = SnapshotStore.read(spark, dir, "t").get
+      .collect().map(_.getLong(0)).toSet
+    assert(seen === Set(1L))
+  }
+
+  test("optimistic concurrency: a taken version is retried, not clobbered") {
+    val dir = tmp("snapocc")
+    SnapshotStore.commit(spark, dir, Map("t" -> Seq((1L, "a")).toDF("id", "v")))
+    // occupy v2 manually (a concurrent winner)
+    val f = new org.apache.hadoop.fs.Path(s"$dir/snapshots/v00002.json")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = f.create(new org.apache.hadoop.fs.Path(s"$dir/snapshots/v00002.json"), false)
+    out.write("""{"version": 2, "tables": {"t": []}}""".getBytes("UTF-8")); out.close()
+    val v = SnapshotStore.commit(spark, dir, Map("t" -> Seq((2L, "b")).toDF("id", "v")))
+    assert(v === 3)
+    // v2's (empty) view preserved; v3 = v2 + new files
+    assert(SnapshotStore.read(spark, dir, "t", Some(2)).isEmpty)
+    val latest = SnapshotStore.read(spark, dir, "t").get
+      .collect().map(_.getLong(0)).toSet
+    assert(latest === Set(2L))
+  }
+
+  test("pipeline atomic commit: triples + done move together; rerun is exactly-once") {
+    val dir = tmp("snappipe")
+    val dims = Dims.tiny(spark)
+    val client = Inference.defaultClient(
+      Dims.pinnedStrat.map(_.strat_name).toArray,
+      Dims.gazetteer.map(_.name).toArray,
+      Dims.pinnedMinerals.map(_.mineral).toArray)
+    val pages = Pages.fixtures(spark)
+
+    // clean ground truth in one commit
+    val cleanDir = tmp("snapclean")
+    KgPipeline.runAndCommitSnapshot(spark, pages, dims, client, cleanDir,
+      KgPipeline.Config(numPartitions = 4))
+    val key = Seq("url", "subj_name", "predicate", "obj_name")
+    val clean = SnapshotStore.read(spark, cleanDir, "triples").get
+      .select(key.map(col): _*).collect().map(_.toSeq).toSet
+
+    // partial first attempt (2 urls), then full recovery run
+    val firstHalf = pages.filter(
+      col("url").isin("https://fixtures.graft/sauk", "https://fixtures.graft/gold"))
+    val v1 = KgPipeline.runAndCommitSnapshot(spark, firstHalf, dims, client, dir,
+      KgPipeline.Config(numPartitions = 4))
+    assert(v1 === 1)
+    val v2 = KgPipeline.runAndCommitSnapshot(spark, pages, dims, client, dir,
+      KgPipeline.Config(numPartitions = 4))
+    assert(v2 === 2)
+    val recovered = SnapshotStore.read(spark, dir, "triples").get
+      .select(key.map(col): _*).collect().map(_.toSeq).toSet
+    assert(recovered === clean)
+
+    // idempotent: everything done => third run appends nothing
+    val v3 = KgPipeline.runAndCommitSnapshot(spark, pages, dims, client, dir,
+      KgPipeline.Config(numPartitions = 4))
+    val after = SnapshotStore.read(spark, dir, "triples", Some(v3)).get
+      .select(key.map(col): _*).collect().map(_.toSeq).toSet
+    assert(after === clean)
+    // done set at head covers every fixture url exactly once
+    val done = SnapshotStore.read(spark, dir, "done").get
+      .collect().map(_.getString(0))
+    assert(done.length === done.distinct.length)
+    assert(done.toSet === pages.select("url").collect().map(_.getString(0)).toSet)
+  }
+}
