@@ -8,12 +8,15 @@ import org.apache.spark.sql.functions._
   *
   *   spark-submit --class graft.kg.Main <jar> \
   *     --pages <parquet dir | "synthetic:<sfDir>"> --out <dir> \
-  *     [--partitions N] [--salted] [--no-canonicalize]
+  *     [--partitions N] [--salted] [--no-canonicalize] [--snapshot]
   *
-  * Reruns with the same --out resume incrementally from the checkpoint
-  * (left-anti join against committed urls). The triples sink is
-  * partitioned by a 64-way url-hash bucket — the parquet stand-in for the
-  * Iceberg `bucket(url)` partition transform the production table uses.
+  * Reruns with the same --out resume incrementally (left-anti join against
+  * committed urls). Two sink protocols:
+  *  - default: append to a 64-way url-bucketed parquet table + a separate
+  *    checkpoint `done` table (the reference's commit shape);
+  *  - --snapshot: triples/lineage/done publish in ONE atomic snapshot via
+  *    graft.sources.SnapshotStore (Iceberg commit semantics — snapshot
+  *    isolation, optimistic concurrency, time travel).
   */
 object Main {
 
@@ -49,7 +52,10 @@ object Main {
       numPartitions = numPartitions,
       saltedAlign = opts.contains("salted"),
       canonicalize = !opts.contains("no-canonicalize"))
-    KgPipeline.runAndCommit(spark, pages, dims, client, outDir, cfg)
+    if (opts.contains("snapshot")) {
+      val v = KgPipeline.runAndCommitSnapshot(spark, pages, dims, client, outDir, cfg)
+      println(s"[graft] committed snapshot v$v at $outDir")
+    } else KgPipeline.runAndCommit(spark, pages, dims, client, outDir, cfg)
     spark.stop()
   }
 
@@ -62,6 +68,7 @@ object Main {
       case "--partitions" :: v :: rest => parse(rest, acc + ("partitions" -> v))
       case "--salted" :: rest => parse(rest, acc + ("salted" -> "1"))
       case "--no-canonicalize" :: rest => parse(rest, acc + ("no-canonicalize" -> "1"))
+      case "--snapshot" :: rest => parse(rest, acc + ("snapshot" -> "1"))
       case other :: _ => sys.error(s"unknown arg: $other")
     }
 }
