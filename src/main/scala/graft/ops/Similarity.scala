@@ -19,8 +19,17 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** aggregate(zip_with(a,b,*), 0d, +) — dot product as a Column. */
+  /** Dot product as a Column — the native codegen'd Catalyst expression
+    * (graft.plans.Expressions.DotProductExpr): one primitive loop in the
+    * generated code, no intermediate zip array. Identical semantics and
+    * fp-fold order to `aggregate(zip_with(a,b,*), 0d, +)` (parity-tested
+    * in ExpressionsSpec), which remains below as the composed-HOF fallback
+    * for engines without the extension. */
   def dot(a: Column, b: Column): Column =
+    graft.plans.Expressions.dot_product(a, b)
+
+  /** Composed higher-order-function form of [[dot]]. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
 
   def norm(a: Column): Column = sqrt(dot(a, a))

@@ -1,9 +1,10 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, StringType}
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -46,10 +47,74 @@ object Expressions {
     org.apache.spark.sql.GraftColumnBridge.column(
       EntityNameExpr(org.apache.spark.sql.GraftColumnBridge.expression(c)))
 
-  /** Register `entity_name` for SQL use on an existing session. */
-  def register(spark: SparkSession): Unit =
+  /** Static dot-product kernel invoked from generated code: one primitive
+    * loop over the two UnsafeArrayData buffers. Null on length mismatch or
+    * a null element — exactly `aggregate(zip_with(a,b,*),0d,+)` semantics,
+    * so the HOF form can swap in anywhere without a result change (same
+    * left-to-right fp order). */
+  def dotKernel(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var i = 0
+    var acc = 0.0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+
+  /** Native codegen'd dot product over two array<double> columns — the hot
+    * kernel of every similarity/ANN operator. Versus the higher-order
+    * `aggregate(zip_with(...))` form this emits a single primitive loop
+    * with no per-element lambda-variable bookkeeping or intermediate
+    * array materialization. */
+  case class DotProductExpr(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "dot_product"
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      val ok = Seq(left, right).forall(_.dataType match {
+        case ArrayType(DoubleType, _) => true
+        case _ => false
+      })
+      if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"dot_product expects (array<double>, array<double>), got (${left.dataType}, ${right.dataType})")
+    }
+
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      dotKernel(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        s"""
+           |java.lang.Double ${ev.value}_r = graft.plans.Expressions.dotKernel($a, $b);
+           |if (${ev.value}_r == null) { ${ev.isNull} = true; }
+           |else { ${ev.value} = ${ev.value}_r.doubleValue(); }
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): DotProductExpr =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** Column-API form of the native dot product. */
+  def dot_product(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      DotProductExpr(org.apache.spark.sql.GraftColumnBridge.expression(a),
+        org.apache.spark.sql.GraftColumnBridge.expression(b)))
+
+  /** Register the custom functions for SQL use on an existing session. */
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "entity_name", exprs => EntityNameExpr(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dot_product", exprs => DotProductExpr(exprs.head, exprs(1)), "scala_udf")
+  }
 }
 
 /** SparkSessionExtensions hook: `.withExtensions(new GraftExtensions)` (or
@@ -61,5 +126,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("entity_name"),
       new ExpressionInfo(classOf[Expressions.EntityNameExpr].getName, "entity_name"),
       (exprs: Seq[Expression]) => Expressions.EntityNameExpr(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[Expressions.DotProductExpr].getName, "dot_product"),
+      (exprs: Seq[Expression]) => Expressions.DotProductExpr(exprs.head, exprs(1))))
   }
 }

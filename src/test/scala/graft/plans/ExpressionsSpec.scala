@@ -40,4 +40,40 @@ class ExpressionsSpec extends SparkSpec {
     val e = new org.apache.spark.sql.SparkSessionExtensions
     ext(e) // must register without throwing
   }
+
+  test("DotProductExpr equals the HOF form bit-for-bit, incl. null cases") {
+    val rnd = new scala.util.Random(42)
+    val rows = (0 until 50).map { i =>
+      (i.toLong, Seq.fill(16)(rnd.nextDouble() * 2 - 1), Seq.fill(16)(rnd.nextDouble() * 2 - 1))
+    }
+    val df = rows.toDF("id", "a", "b")
+    val got = df.select(col("id"),
+        Expressions.dot_product(col("a"), col("b")).as("native"),
+        graft.ops.Similarity.dotHof(col("a"), col("b")).as("hof"))
+      .collect()
+    got.foreach { r =>
+      // bit-for-bit: same left-to-right fp fold order
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(1)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(2)))
+    }
+    // length mismatch and null input -> null (zip_with parity)
+    val edge = Seq(
+      (1L, Some(Seq(1.0, 2.0)), Some(Seq(1.0))),
+      (2L, None, Some(Seq(1.0, 2.0))))
+      .toDF("id", "a", "b")
+      .select(Expressions.dot_product(col("a"), col("b")).as("d"))
+      .collect().map(r => r.isNullAt(0))
+    assert(edge.toSeq === Seq(true, true))
+  }
+
+  test("dot_product stays inside whole-stage codegen") {
+    val plan = spark.range(10)
+      .select(array(col("id").cast("double"), lit(1.0)).as("a"),
+        array(lit(2.0), col("id").cast("double")).as("b"))
+      .select(Expressions.dot_product(col("a"), col("b")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), plan)
+    assert(plan.contains("dot_product("), plan)
+    assert(!plan.toLowerCase.contains("udf"), plan)
+  }
 }
