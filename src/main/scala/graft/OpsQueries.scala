@@ -79,6 +79,37 @@ object OpsQueries {
         .select(col("doc_id"), col("width"), col("height"), col("frames"))
     },
 
+    // Corpus filter composition: the standard training-data gate — keep
+    // docs that pass quality + language thresholds, report survivor stats.
+    // One pass over the scan; every predicate is a pushable column expr.
+    "text_quality_filter" -> { (s, dir) =>
+      TextOps.quality(docs(s, dir))
+        .join(TextOps.langId(docs(s, dir)).select("doc_id", "predicted_lang"), "doc_id")
+        .filter(col("quality_score") >= 0.5 && col("predicted_lang") === "en")
+        .agg(count(lit(1)).as("n_kept"),
+          round(avg("quality_score"), 4).as("avg_quality"),
+          round(avg("n_tok"), 4).as("avg_tokens"))
+    },
+
+    // Sliding-window aggregation (10-min windows every 5 min): each event
+    // lands in two windows; same plan shape under readStream.
+    "events_sliding_agg" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "10 minutes", "5 minutes")
+          .getField("start").as("w_start"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+    },
+
+    // Exact interpolated quantiles per event type (percentile ~
+    // quantile_cont in DuckDB — both linear interpolation).
+    "events_quantiles" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(round(expr("percentile(value, 0.5)"), 4).as("p50"),
+          round(expr("percentile(value, 0.9)"), 4).as("p90"),
+          round(expr("percentile(value, 0.99)"), 4).as("p99"))
+    },
+
     // Windowed aggregation over the event stream (batch form of the
     // tumbling-window streaming agg; same plan shape under readStream).
     "events_window_agg" -> { (s, dir) =>
@@ -319,6 +350,38 @@ object OpsQueries {
          16 + ascii(text[2]) % 128 AS height,
          1 + octet_length(encode(text)) // 4096 AS frames
          FROM documents""",
+    "text_quality_filter" ->
+      s"""WITH m AS (
+           SELECT doc_id, length(text) AS n_chars,
+             len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tok,
+             len(regexp_extract_all(text, '$stopRe')) AS n_stop,
+             len(regexp_extract_all(text, '[a-zA-Z]')) AS n_alpha
+           FROM documents),
+         scored AS (
+           SELECT doc_id, n_tok,
+             round(least(n_tok / 64.0, 1.0) * 0.4 +
+               round(n_alpha * 1.0 / n_chars + 1e-9, 4) * 0.4 +
+               least(round(n_stop * 1.0 / n_tok + 1e-9, 4) * 5.0, 1.0) * 0.2 + 1e-9, 4) AS quality_score,
+             CASE WHEN round(n_stop * 1.0 / n_tok + 1e-9, 4) >= 0.05
+               THEN 'en' ELSE 'und' END AS predicted_lang
+           FROM m)
+         SELECT count(*) AS n_kept,
+           round(avg(quality_score), 4) AS avg_quality,
+           round(avg(n_tok), 4) AS avg_tokens
+         FROM scored WHERE quality_score >= 0.5 AND predicted_lang = 'en'""",
+    "events_sliding_agg" ->
+      """SELECT w_start, event_type, count(*) AS n,
+         round(sum(value), 2) AS sum_value
+         FROM (SELECT unnest([time_bucket(INTERVAL 5 MINUTE, ts),
+                 time_bucket(INTERVAL 5 MINUTE, ts) - INTERVAL 5 MINUTE]) AS w_start,
+               event_type, value FROM events)
+         GROUP BY 1, 2""",
+    "events_quantiles" ->
+      """SELECT event_type,
+         round(quantile_cont(value, 0.5), 4) AS p50,
+         round(quantile_cont(value, 0.9), 4) AS p90,
+         round(quantile_cont(value, 0.99), 4) AS p99
+         FROM events GROUP BY event_type""",
     "events_window_agg" ->
       """SELECT time_bucket(INTERVAL 5 MINUTE, ts) AS w_start, event_type,
          count(*) AS n, round(sum(value), 2) AS sum_value
