@@ -29,7 +29,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SnapshotStore {
 
-  final case class Snapshot(version: Int, tables: Map[String, Seq[String]])
+  final case class Snapshot(version: Int, tables: Map[String, Seq[String]],
+      meta: Map[String, String] = Map.empty)
 
   private def fs(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -70,7 +71,8 @@ object SnapshotStore {
     * semantics: new files are added to each table's prior file list).
     * Returns the committed version. Retries on publish conflict. */
   def commit(spark: SparkSession, dir: String,
-             tables: Map[String, DataFrame], maxRetries: Int = 10): Int = {
+             tables: Map[String, DataFrame], maxRetries: Int = 10,
+             meta: Map[String, String] = Map.empty): Int = {
     val f = fs(spark, dir)
     var attempt = 0
     while (attempt < maxRetries) {
@@ -95,7 +97,7 @@ object SnapshotStore {
       val tmp = new Path(s"$dir/snapshots/.tmp-v$v-${Thread.currentThread().getId}.json")
       f.mkdirs(new Path(s"$dir/snapshots"))
       val out = f.create(tmp, true)
-      try out.write(render(Snapshot(v, merged)).getBytes("UTF-8")) finally out.close()
+      try out.write(render(Snapshot(v, merged, meta)).getBytes("UTF-8")) finally out.close()
       if (f.rename(tmp, snapshotPath(dir, v))) return v
       f.delete(tmp, false)
       attempt += 1
@@ -116,7 +118,10 @@ object SnapshotStore {
     val tables = s.tables.toSeq.sortBy(_._1).map { case (t, files) =>
       s"${q(t)}: [${files.map(q).mkString(", ")}]"
     }.mkString(", ")
-    s"""{"version": ${s.version}, "tables": {$tables}}"""
+    val meta = s.meta.toSeq.sortBy(_._1).map { case (k, v) =>
+      s"${q(k)}: ${q(v)}"
+    }.mkString(", ")
+    s"""{"version": ${s.version}, "meta": {$meta}, "tables": {$tables}}"""
   }
 
   private def parse(json: String, v: Int): Snapshot = {
@@ -130,6 +135,16 @@ object SnapshotStore {
         val files = fileRe.findAllMatchIn(m.group(2)).map(_.group(1)).toSeq
         m.group(1) -> files
       }.toMap
-    Snapshot(v, tables)
+    val meta = {
+      val mi = json.indexOf("\"meta\"")
+      if (mi < 0) Map.empty[String, String]
+      else {
+        val metaBody = json.substring(mi, json.indexOf("\"tables\""))
+        val kvRe = """\"([^"]+)\":\s*\"((?:[^"\\]|\\.)*)\"""".r
+        kvRe.findAllMatchIn(metaBody).filterNot(_.group(1) == "meta")
+          .map(m => m.group(1) -> m.group(2)).toMap
+      }
+    }
+    Snapshot(v, tables, meta)
   }
 }

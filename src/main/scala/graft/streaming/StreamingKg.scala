@@ -54,6 +54,33 @@ object StreamingKg {
     Linker.align(parsed, Linker.aliasDim(dims))
   }
 
+  /** Exactly-once micro-batch commit into the snapshot store: a restarted
+    * query replays its last batch, so batches at-or-below the manifest's
+    * committed batch_id are skipped — replay becomes a no-op instead of a
+    * duplicate append. Returns the committed version, None when skipped. */
+  def commitBatch(dir: String, table: String, batch: DataFrame,
+                  batchId: Long): Option[Int] = {
+    import graft.sources.SnapshotStore
+    val spark = batch.sparkSession
+    val cur = SnapshotStore.currentVersion(spark, dir)
+    val last =
+      if (cur == 0) -1L
+      else SnapshotStore.readSnapshot(spark, dir, cur)
+        .meta.get("batch_id").map(_.toLong).getOrElse(-1L)
+    if (batchId <= last) None
+    else Some(SnapshotStore.commit(spark, dir, Map(table -> batch),
+      meta = Map("batch_id" -> batchId.toString)))
+  }
+
+  /** Streaming triples sink: every micro-batch publishes as one atomic
+    * snapshot (graft.sources.SnapshotStore), giving the streaming path the
+    * same snapshot-isolation + exactly-once story as the batch commit. */
+  def snapshotSink(df: DataFrame, dir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream.outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        commitBatch(dir, "triples", batch.toDF(), batchId); ()
+      }
+
   /** Watermarked tumbling-window aggregation over the event stream. */
   def windowedEventCounts(events: DataFrame): DataFrame =
     events

@@ -298,6 +298,22 @@ class RdfSpec extends SparkSpec {
     assert(dep > 0)
   }
 
+  test("lithology objects emit rock-material typing + name/type/class label") {
+    val hydrated = Seq(
+      ("https://t/lith", "Wisconsin", "contains", "lith", "sandstone",
+        "sandstone", "siliciclastic", "sedimentary"))
+      .toDF("url", "subj_name", "predicate", "obj_kind", "obj_final",
+        "lith", "lith_type", "lith_class")
+    val got = Rdf.fromHydrated(hydrated, dims).collect()
+    val node = s"${Rdf.XDD}Sandstone"
+    assert(got.exists(t => t.subj == node && t.pred == s"${Rdf.RDF_}type" &&
+      t.obj == s"${Rdf.GSOG}Rock_Material"))
+    assert(got.exists(t => t.subj == node && t.pred == s"${Rdf.RDFS_}label" &&
+      t.obj == "sandstone, siliciclastic, sedimentary" && t.lang == "en"))
+    // hydrated-from-dim => Macrostrat provenance chain attaches
+    assert(got.exists(t => t.subj == node && t.pred == s"${Rdf.PROV}wasGeneratedBy"))
+  }
+
   test("non-period intervals map too: Early Ordovician epoch, Mississippian sub-period (G6)") {
     // the reference's INTERVAL_LOOKUP covers every Macrostrat interval type
     // (stratigraphy.py:68-86); an epoch-valued b_period must emit a

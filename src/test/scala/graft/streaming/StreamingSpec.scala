@@ -37,6 +37,39 @@ class StreamingSpec extends SparkSpec {
     assert(shak.forall(_.getAs[Boolean]("obj_linked")))
   }
 
+  test("snapshot sink: per-batch atomic commits, replayed batch is a no-op") {
+    import graft.sources.SnapshotStore
+    val pagesDir = java.nio.file.Files.createTempDirectory("snapsrc").toString
+    val storeDir = java.nio.file.Files.createTempDirectory("snapsink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("snapckpt").toString
+    Pages.fixtures(spark).write.mode("overwrite").parquet(pagesDir)
+
+    val stream = StreamingKg.pagesStream(spark, pagesDir)
+    val q = StreamingKg.snapshotSink(
+        StreamingKg.triplesStream(stream, dims, client), storeDir)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+
+    val v = SnapshotStore.currentVersion(spark, storeDir)
+    assert(v >= 1)
+    val committed = SnapshotStore.read(spark, storeDir, "triples").get
+    assert(committed.filter(col("url") === "https://fixtures.graft/sauk").count() > 0)
+    assert(SnapshotStore.readSnapshot(spark, storeDir, v).meta.contains("batch_id"))
+
+    // replay semantics: re-committing an already-committed batch id skips
+    val n1 = committed.count()
+    val replayed = StreamingKg.commitBatch(storeDir, "triples",
+      committed.limit(1), batchId = 0)
+    assert(replayed.isEmpty)
+    assert(SnapshotStore.read(spark, storeDir, "triples").get.count() === n1)
+    // a NEW batch id commits and appends
+    val next = StreamingKg.commitBatch(storeDir, "triples",
+      committed.limit(1), batchId = 999)
+    assert(next.contains(v + 1))
+    assert(SnapshotStore.read(spark, storeDir, "triples").get.count() === n1 + 1)
+  }
+
   test("watermarked windowed aggregation over an event stream") {
     val input = MemoryStream[(java.sql.Timestamp, String, Double)](spark)
     val events = input.toDF().toDF("ts", "event_type", "value")
