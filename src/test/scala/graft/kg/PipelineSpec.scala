@@ -228,6 +228,19 @@ class KgPipelineSpec extends SparkSpec {
     assert(prompts.exists(p => p.contains("gallium") && p.contains("[INST]")))
   }
 
+  test("plan discipline: no sort-merge/nested-loop/cartesian anywhere in the pipeline") {
+    // regression guard for the PLANS.md audit: every enrichment join must
+    // stay broadcast; any SMJ/BNLJ/cartesian appearing here means a hint
+    // or a key extraction silently broke.
+    val res = KgPipeline.run(spark, Pages.fixtures(spark), dims, client,
+      KgPipeline.Config(numPartitions = 2))
+    val plan = res.triples.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"), plan.linesIterator.take(40).mkString("\n"))
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+
   test("resume: second run is incremental and idempotent") {
     val outDir = java.nio.file.Files.createTempDirectory("kgresume").toString
     val pages = Pages.fixtures(spark)
