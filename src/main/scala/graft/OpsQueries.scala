@@ -63,6 +63,7 @@ object OpsQueries {
     },
 
     "text_langid" -> { (s, dir) => TextOps.langId(docs(s, dir)) },
+    "text_langid_multi" -> { (s, dir) => TextOps.langIdMulti(docs(s, dir)) },
     "text_quality" -> { (s, dir) => TextOps.quality(docs(s, dir)) },
     "text_tokens" -> { (s, dir) => TextOps.tokenCounts(docs(s, dir)) },
     "text_fingerprint" -> { (s, dir) => TextOps.fingerprint(docs(s, dir)) },
@@ -314,6 +315,26 @@ object OpsQueries {
           round(len(regexp_extract_all(text, '$stopRe')) * 1.0 /
             len(list_filter(string_split(text, ' '), t -> t <> '')) + 1e-9, 4) AS stop_ratio
           FROM documents""",
+    "text_langid_multi" -> {
+      val ratios = TextOps.LangProfiles.map { case (lg, words) =>
+        s"round(len(regexp_extract_all(text, '\\b(${words.mkString("|")})\\b')) * 1.0 / n_tok + 1e-9, 4) AS r_$lg"
+      }.mkString(", ")
+      val langs = TextOps.LangProfiles.map(_._1)
+      val cases = langs.map { lg =>
+        val conds = (s"r_$lg >= 0.05" +: langs.filterNot(_ == lg).map(o => s"r_$lg >= r_$o"))
+          .mkString(" AND ")
+        s"WHEN $conds THEN '$lg'"
+      }.mkString(" ")
+      s"""WITH base AS (
+            SELECT doc_id, lang AS declared_lang, text,
+              len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tok
+            FROM documents),
+          r AS (SELECT doc_id, declared_lang, $ratios FROM base)
+          SELECT doc_id, declared_lang,
+            CASE $cases ELSE 'und' END AS predicted_lang,
+            ${langs.map(lg => s"r_$lg").mkString(", ")}
+          FROM r"""
+    },
     "text_quality" ->
       s"""WITH m AS (
            SELECT doc_id, length(text) AS n_chars,

@@ -39,6 +39,39 @@ object TextOps {
         when(col("stop_ratio") >= 0.05, lit("en")).otherwise(lit("und")))
       .select("doc_id", "declared_lang", "predicted_lang", "stop_ratio")
 
+  /** Function-word profiles per language for the multi-language classifier
+    * (the n-gram-profile method degenerates to function-word densities on
+    * short dictionaries; words chosen non-overlapping across profiles
+    * except genuinely shared ones like fr/es "la"). */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> EnStopwords,
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
+    "fr" -> Seq("le", "les", "et", "est", "dans", "la"),
+    "es" -> Seq("el", "los", "las", "y", "es", "la"))
+
+  /** Multi-language ID: per-profile function-word density, argmax above a
+    * density floor, earlier profile wins exact ties (fixed order => the
+    * same CASE chain is expressible verbatim in any SQL engine). */
+  def langIdMulti(docs: DataFrame, minDensity: Double = 0.05): DataFrame = {
+    val base = docs.select(col("doc_id"), col("lang").as("declared_lang"),
+      col("text"), wsTokenCount(col("text")).as("n_tok"))
+    val withRatios = LangProfiles.foldLeft(base) { case (df, (lg, words)) =>
+      df.withColumn(s"r_$lg",
+        round(size(regexp_extract_all(col("text"),
+          lit("\\b(" + words.mkString("|") + ")\\b"), lit(0))) / col("n_tok") + RoundEps, 4))
+    }
+    val langs = LangProfiles.map(_._1)
+    val pred = langs.foldLeft(when(lit(false), lit(""))) { (acc, lg) =>
+      val wins = langs.filter(_ != lg)
+        .map(o => col(s"r_$lg") >= col(s"r_$o"))
+        .foldLeft(col(s"r_$lg") >= minDensity)(_ && _)
+      acc.when(wins, lit(lg))
+    }.otherwise(lit("und"))
+    withRatios.withColumn("predicted_lang", pred)
+      .select(Seq(col("doc_id"), col("declared_lang"), col("predicted_lang")) ++
+        langs.map(lg => col(s"r_$lg")): _*)
+  }
+
   /** Quality scoring: length, mean token length, stopword ratio,
     * alpha ratio → weighted score in [0, 1]. */
   def quality(docs: DataFrame): DataFrame =

@@ -204,6 +204,23 @@ class TextOpsSpec extends SparkSpec {
     assert(got(1L) === "und")
   }
 
+  test("multi-language id: argmax density picks the right profile") {
+    val multi = Seq(
+      (10L, "der Hund ist nicht in das Haus und der Garten", "de"),
+      (11L, "le chat est dans la maison et le jardin est grand", "fr"),
+      (12L, "el perro y el gato es en los jardines y las casas", "es"),
+      (13L, "the cat is in the house and the dog is of note", "en"),
+      (14L, "zzz qqq xxx yyy www vvv", "und"))
+      .toDF("doc_id", "text", "lang")
+    val got = TextOps.langIdMulti(multi).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("predicted_lang")).toMap
+    assert(got(10L) === "de")
+    assert(got(11L) === "fr")
+    assert(got(12L) === "es")
+    assert(got(13L) === "en")
+    assert(got(14L) === "und")
+  }
+
   test("token counts: whitespace vs distinct") {
     val r = TextOps.tokenCounts(docs).filter(col("doc_id") === 0).collect().head
     assert(r.getAs[Int]("ws_tokens") === 12)
