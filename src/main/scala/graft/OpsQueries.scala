@@ -68,6 +68,20 @@ object OpsQueries {
     "text_tokens" -> { (s, dir) => TextOps.tokenCounts(docs(s, dir)) },
     "text_fingerprint" -> { (s, dir) => TextOps.fingerprint(docs(s, dir)) },
 
+    // Corpus vocabulary heavy hitters: document frequency + total count per
+    // token, top-k. The shuffle key is the token (map-side combined); the
+    // per-token doc set never materializes (count_distinct aggregates it).
+    "text_vocab_topk" -> { (s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"),
+          explode(filter(split(col("text"), " "), t => t =!= "")).as("tok"))
+        .groupBy("tok")
+        .agg(count_distinct(col("doc_id")).as("doc_freq"),
+          count(lit(1)).as("term_freq"))
+        .orderBy(desc("doc_freq"), desc("term_freq"), col("tok"))
+        .limit(20)
+    },
+
     "mm_byte_meta" -> { (s, dir) =>
       Multimodal.byteMeta(
         docs(s, dir).select(col("doc_id"), col("text").cast("binary").as("payload")))
@@ -361,6 +375,14 @@ object OpsQueries {
          md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint,
          greatest(len(list_filter(string_split(text, ' '), t -> t <> '')) - 2, 0) AS n_shingles
          FROM documents""",
+    "text_vocab_topk" ->
+      """SELECT tok, count(DISTINCT doc_id) AS doc_freq,
+         count(*)::BIGINT AS term_freq
+         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+               FROM documents)
+         WHERE tok <> ''
+         GROUP BY tok
+         ORDER BY doc_freq DESC, term_freq DESC, tok LIMIT 20""",
     "mm_byte_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
          sha256(text) AS payload_sha, ascii(text[1]) AS first_byte
