@@ -94,6 +94,21 @@ object OpsQueries {
         .select(col("doc_id"), col("width"), col("height"), col("frames"))
     },
 
+    // As-of (point-in-time) join: every click gets the user's most recent
+    // prior-or-simultaneous purchase value. One union + one window pass —
+    // never a range-exploded theta join (ops.AsOfJoin).
+    "events_asof_join" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "ts", "user_id")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("value").as("last_purchase_value"))
+      AsOfJoin.leftAsOf(clicks, purchases, key = "user_id", ts = "ts",
+          tieCol = "event_id", payload = Seq("last_purchase_value"))
+        .select("event_id", "user_id", "last_purchase_value")
+    },
+
     // Corpus filter composition: the standard training-data gate — keep
     // docs that pass quality + language thresholds, report survivor stats.
     // One pass over the scan; every predicate is a pushable column expr.
@@ -393,6 +408,17 @@ object OpsQueries {
          16 + ascii(text[2]) % 128 AS height,
          1 + octet_length(encode(text)) // 4096 AS frames
          FROM documents""",
+    "events_asof_join" ->
+      """WITH purchases AS (
+           SELECT user_id, ts, value AS last_purchase_value FROM (
+             SELECT user_id, ts, value,
+               row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id) AS rn
+             FROM events WHERE event_type = 'purchase') WHERE rn = 1),
+         clicks AS (
+           SELECT event_id, ts, user_id FROM events WHERE event_type = 'click')
+         SELECT c.event_id, c.user_id, p.last_purchase_value
+         FROM clicks c ASOF LEFT JOIN purchases p
+           ON c.user_id = p.user_id AND p.ts <= c.ts""",
     "text_quality_filter" ->
       s"""WITH m AS (
            SELECT doc_id, length(text) AS n_chars,

@@ -189,6 +189,43 @@ class SimilaritySpec extends SparkSpec {
   }
 }
 
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("as-of semantics: latest <=, exact-ts match, no-prior null, tie by tieCol") {
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 7L),  // after r1+r2 -> r2
+      (2L, ts("2024-01-01 08:00:00"), 7L),  // exactly at r1 -> r1 (<=)
+      (3L, ts("2024-01-01 07:00:00"), 7L),  // before any right -> null
+      (4L, ts("2024-01-01 12:00:00"), 8L))  // other user, tie-broken right
+      .toDF("event_id", "ts", "user_id")
+    val right = Seq(
+      (7L, ts("2024-01-01 08:00:00"), 100L, 1.0),
+      (7L, ts("2024-01-01 09:00:00"), 101L, 2.0),
+      (8L, ts("2024-01-01 11:00:00"), 103L, 9.0), // same ts, higher tie id
+      (8L, ts("2024-01-01 11:00:00"), 102L, 5.0)) // min event_id wins
+      .toDF("user_id", "ts", "event_id", "v")
+    val got = AsOfJoin.leftAsOf(left, right, "user_id", "ts", "event_id", Seq("v"))
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[java.lang.Double]("v")).map(_.toDouble)).toMap
+    assert(got(1L) === Some(2.0))
+    assert(got(2L) === Some(1.0))
+    assert(got(3L) === None)
+    assert(got(4L) === Some(5.0))
+  }
+
+  test("plan shape: one key shuffle + window, no range-exploded join") {
+    val left = Seq((1L, ts("2024-01-01 10:00:00"), 7L)).toDF("event_id", "ts", "user_id")
+    val right = Seq((7L, ts("2024-01-01 08:00:00"), 9L, 1.0)).toDF("user_id", "ts", "event_id", "v")
+    val plan = AsOfJoin.leftAsOf(left, right, "user_id", "ts", "event_id", Seq("v"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan) // union+window, not a join operator
+    assert(plan.contains("Window"), plan)
+  }
+}
+
 class TextOpsSpec extends SparkSpec {
   import spark.implicits._
 
