@@ -109,6 +109,22 @@ object OpsQueries {
         .select("event_id", "user_id", "last_purchase_value")
     },
 
+    // Range join: clicks falling in the 10-minute window after each error,
+    // same user — bin-bucketed equi-join, not a theta join (ops.RangeJoin).
+    "events_range_join" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("event_id").as("err_id"),
+          col("ts").as("w_start"),
+          (col("ts") + expr("INTERVAL 10 MINUTES")).as("w_end"))
+      RangeJoin.pointsInRanges(clicks, errors, key = "user_id",
+          ptsCol = "ts", startCol = "w_start", endCol = "w_end",
+          binSeconds = 600)
+        .groupBy("err_id").agg(count(lit(1)).as("n_clicks"))
+    },
+
     // Corpus filter composition: the standard training-data gate — keep
     // docs that pass quality + language thresholds, report survivor stats.
     // One pass over the scan; every predicate is a pushable column expr.
@@ -408,6 +424,13 @@ object OpsQueries {
          16 + ascii(text[2]) % 128 AS height,
          1 + octet_length(encode(text)) // 4096 AS frames
          FROM documents""",
+    "events_range_join" ->
+      """SELECT e.event_id AS err_id, count(*) AS n_clicks
+         FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'error') e
+         JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+           ON e.user_id = c.user_id
+          AND c.ts >= e.ts AND c.ts <= e.ts + INTERVAL 10 MINUTE
+         GROUP BY 1""",
     "events_asof_join" ->
       """WITH purchases AS (
            SELECT user_id, ts, value AS last_purchase_value FROM (

@@ -226,6 +226,39 @@ class AsOfJoinSpec extends SparkSpec {
   }
 }
 
+class RangeJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("bin-bucketed range join equals the exact predicate semantics") {
+    val points = Seq(
+      (1L, ts("2024-01-01 10:05:00"), 7L), // inside r1
+      (2L, ts("2024-01-01 10:10:00"), 7L), // exactly at r1 end (inclusive)
+      (3L, ts("2024-01-01 10:11:00"), 7L), // just outside
+      (4L, ts("2024-01-01 10:05:00"), 8L)) // wrong user
+      .toDF("pid", "ts", "user_id")
+    val ranges = Seq(
+      (10L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:10:00"), 7L),
+      (11L, ts("2024-01-01 10:04:00"), ts("2024-01-01 10:06:00"), 7L))
+      .toDF("rid", "w_start", "w_end", "user_id")
+    val got = RangeJoin.pointsInRanges(points, ranges, "user_id",
+        "ts", "w_start", "w_end", binSeconds = 300)
+      .select("pid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 10L), (1L, 11L), (2L, 10L)))
+  }
+
+  test("plan: equi-join on (key, bin), no nested-loop/cartesian") {
+    val points = Seq((1L, ts("2024-01-01 10:05:00"), 7L)).toDF("pid", "ts", "user_id")
+    val ranges = Seq((10L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:10:00"), 7L))
+      .toDF("rid", "w_start", "w_end", "user_id")
+    val plan = RangeJoin.pointsInRanges(points, ranges, "user_id",
+        "ts", "w_start", "w_end", 300)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+  }
+}
+
 class TextOpsSpec extends SparkSpec {
   import spark.implicits._
 
