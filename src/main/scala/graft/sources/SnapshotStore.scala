@@ -72,7 +72,20 @@ object SnapshotStore {
     * Returns the committed version. Retries on publish conflict. */
   def commit(spark: SparkSession, dir: String,
              tables: Map[String, DataFrame], maxRetries: Int = 10,
-             meta: Map[String, String] = Map.empty): Int = {
+             meta: Map[String, String] = Map.empty): Int =
+    commitInternal(spark, dir, tables, maxRetries, meta, replace = false)
+
+  /** Replace-mode commit (compaction/rewrite): the new files BECOME the
+    * named tables' full content; untouched tables carry over. Readers on
+    * older versions still see the pre-compaction files (time travel). */
+  def commitReplace(spark: SparkSession, dir: String,
+                    tables: Map[String, DataFrame], maxRetries: Int = 10,
+                    meta: Map[String, String] = Map.empty): Int =
+    commitInternal(spark, dir, tables, maxRetries, meta, replace = true)
+
+  private def commitInternal(spark: SparkSession, dir: String,
+             tables: Map[String, DataFrame], maxRetries: Int,
+             meta: Map[String, String], replace: Boolean): Int = {
     val f = fs(spark, dir)
     var attempt = 0
     while (attempt < maxRetries) {
@@ -90,7 +103,8 @@ object SnapshotStore {
       val prev: Map[String, Seq[String]] =
         if (base == 0) Map.empty else readSnapshot(spark, dir, base).tables
       val merged = (prev.keySet ++ staged.keySet).map { t =>
-        t -> (prev.getOrElse(t, Nil) ++ staged.getOrElse(t, Nil))
+        val carried = if (replace && staged.contains(t)) Nil else prev.getOrElse(t, Nil)
+        t -> (carried ++ staged.getOrElse(t, Nil))
       }.toMap
       // publish: temp write + atomic rename; rename-to-existing fails =>
       // another writer won this version, retry against the new head

@@ -81,6 +81,22 @@ object StreamingKg {
         commitBatch(dir, "triples", batch.toDF(), batchId); ()
       }
 
+  /** Periodic batch compaction — the cross-batch step the incremental
+    * stream cannot do: global connected-components canonicalization over
+    * the ACCUMULATED triples table, so surface variants that arrived in
+    * different micro-batches collapse to one canonical entity. Publishes
+    * as a replace-mode snapshot (readers of older versions still see the
+    * uncompacted files — time travel). Returns the new version, None when
+    * the store has no triples yet. */
+  def compactCanonicalize(spark: SparkSession, dir: String): Option[Int] = {
+    import graft.sources.SnapshotStore
+    SnapshotStore.read(spark, dir, "triples").map { triples =>
+      SnapshotStore.commitReplace(spark, dir,
+        Map("triples" -> Canonicalizer(triples)),
+        meta = Map("compaction" -> "canonicalize"))
+    }
+  }
+
   /** Watermarked tumbling-window aggregation over the event stream. */
   def windowedEventCounts(events: DataFrame): DataFrame =
     events

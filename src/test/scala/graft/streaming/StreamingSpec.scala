@@ -70,6 +70,33 @@ class StreamingSpec extends SparkSpec {
     assert(SnapshotStore.read(spark, storeDir, "triples").get.count() === n1 + 1)
   }
 
+  test("compaction: cross-batch surface variants collapse to one canonical entity") {
+    import graft.sources.SnapshotStore
+    val dir = java.nio.file.Files.createTempDirectory("compact").toString
+    def aligned(url: String, name: String) = Seq(
+      (url, "h", "m", "Minnesota", "contains", name, "strat", name, false))
+      .toDF("url", "hashed_text", "model_id", "subj_name", "predicate",
+        "obj_name", "obj_kind", "obj_canonical", "obj_linked")
+    // two micro-batches carry dictionary-UNKNOWN variants of one entity —
+    // per-batch alignment cannot unify them, only global CC can
+    StreamingKg.commitBatch(dir, "triples", aligned("u1", "Foo Formation"), 0)
+    StreamingKg.commitBatch(dir, "triples", aligned("u2", "foo formation."), 1)
+    val before = SnapshotStore.read(spark, dir, "triples").get
+    assert(!before.columns.contains("obj_final"))
+
+    val v = StreamingKg.compactCanonicalize(spark, dir)
+    assert(v.contains(3))
+    val after = SnapshotStore.read(spark, dir, "triples").get
+      .select("obj_name", "obj_final", "entity_cluster_id").collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(after("Foo Formation")._1 === "Foo Formation")
+    assert(after("foo formation.")._1 === "Foo Formation")
+    assert(after("Foo Formation")._2 === after("foo formation.")._2)
+    // time travel: the pre-compaction version is still readable, uncompacted
+    val old = SnapshotStore.read(spark, dir, "triples", Some(2)).get
+    assert(old.count() === 2 && !old.columns.contains("obj_final"))
+  }
+
   test("watermarked windowed aggregation over an event stream") {
     val input = MemoryStream[(java.sql.Timestamp, String, Double)](spark)
     val events = input.toDF().toDF("ts", "event_type", "value")
