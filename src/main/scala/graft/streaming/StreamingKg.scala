@@ -97,6 +97,16 @@ object StreamingKg {
     }
   }
 
+  /** Cross-micro-batch exactly-once on the EVENT side: duplicate ids
+    * arriving within the lateness horizon are dropped with bounded state —
+    * the watermark ages dedup state out, so state size tracks the horizon,
+    * not the stream length (at-least-once upstreams become effectively
+    * exactly-once without unbounded keys). */
+  def dedupEvents(events: DataFrame, idCol: String = "event_id",
+                  watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(idCol)
+
   /** Watermarked tumbling-window aggregation over the event stream. */
   def windowedEventCounts(events: DataFrame): DataFrame =
     events

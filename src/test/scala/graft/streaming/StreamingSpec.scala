@@ -116,6 +116,24 @@ class StreamingSpec extends SparkSpec {
       ("2024-01-01 00:05:00.0", "view", 1L)))
   }
 
+  test("watermarked dedup drops cross-batch duplicate event ids") {
+    val input = MemoryStream[(Long, java.sql.Timestamp, Double)](spark)
+    val events = input.toDF().toDF("event_id", "ts", "value")
+    val q = StreamingKg.dedupEvents(events)
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    input.addData((1L, java.sql.Timestamp.valueOf("2024-01-01 00:01:00"), 1.0),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 00:02:00"), 2.0))
+    q.processAllAvailable()
+    // the same event id replays in a later micro-batch (at-least-once feed)
+    input.addData((1L, java.sql.Timestamp.valueOf("2024-01-01 00:01:00"), 1.0),
+      (3L, java.sql.Timestamp.valueOf("2024-01-01 00:03:00"), 3.0))
+    q.processAllAvailable()
+    val ids = spark.table("dedup_out").collect().map(_.getLong(0)).sorted
+    q.stop()
+    assert(ids.toSeq === Seq(1L, 2L, 3L))
+  }
+
   test("stateful sessionization closes sessions on gap") {
     val input = MemoryStream[StreamingKg.Event](spark)
     val q = StreamingKg.sessionize(input.toDS(), idleTimeout = false)
