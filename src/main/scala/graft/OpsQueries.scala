@@ -40,6 +40,12 @@ object OpsQueries {
       Dedup.jaccardAllPairs(docs(s, dir).filter(col("doc_id") < 200), 0.8)
     },
 
+    // Word 3-gram shingle Jaccard — order-sensitive near-dup signal (token
+    // Jaccard is bag-of-words; shingles catch reorderings as different).
+    "dedup_jaccard_ngram" -> { (s, dir) =>
+      Dedup.jaccardNgram(docs(s, dir).filter(col("doc_id") < 200), n = 3, minJaccard = 0.6)
+    },
+
     // End-to-end dedup resolution: LSH candidates → candidate-restricted
     // Jaccard verification → connected-component clusters with min-id
     // keep/drop. The full 10^12-doc composition in one query.
@@ -249,6 +255,27 @@ object OpsQueries {
          JOIN sz sa ON sa.doc_id = doc_a
          JOIN sz sb ON sb.doc_id = doc_b
          WHERE round(inter * 1.0 / (sa.sz + sb.sz - inter) + 1e-9, 4) >= 0.8""",
+    "dedup_jaccard_ngram" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+           FROM documents WHERE doc_id < 200),
+         sh AS (
+           SELECT DISTINCT doc_id, sh FROM (
+             SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(ts) - 2),
+                 i -> array_to_string(ts[i:i+2], ' '))) AS sh
+             FROM toks WHERE len(ts) >= 3)),
+         sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         inter AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+           FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT doc_a, doc_b,
+           round(inter * 1.0 / (sa.sz + sb.sz - inter) + 1e-9, 4) AS jaccard
+         FROM inter
+         JOIN sz sa ON sa.doc_id = doc_a
+         JOIN sz sb ON sb.doc_id = doc_b
+         WHERE round(inter * 1.0 / (sa.sz + sb.sz - inter) + 1e-9, 4) >= 0.6""",
     "dedup_simhash_near" ->
       s"""WITH tok AS (
             SELECT DISTINCT doc_id, tok FROM (

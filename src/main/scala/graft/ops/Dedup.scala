@@ -36,6 +36,18 @@ object Dedup {
   def tokens(textCol: Column): Column =
     array_distinct(filter(split(textCol, " "), t => t =!= ""))
 
+  /** Distinct word n-gram shingles (n consecutive tokens joined by one
+    * space) — pure array expressions, codegen'd. Documents shorter than n
+    * tokens yield no shingles (sequence would otherwise run descending). */
+  def shingles(textCol: Column, n: Int): Column = {
+    val toks = filter(split(textCol, " "), t => t =!= "")
+    when(size(toks) >= n,
+      array_distinct(transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n))))))
+      .otherwise(array().cast("array<string>"))
+  }
+
   /** Exact duplicate groups: (text_hash, n_docs, min_doc_id). */
   def exactGroups(docs: DataFrame): DataFrame =
     docs.select(md5(col("text")).as("text_hash"), col("doc_id"))
@@ -139,6 +151,19 @@ object Dedup {
     * corpus scale use [[jaccard]] with an LSH candidate set instead). */
   def jaccardAllPairs(docs: DataFrame, minJaccard: Double): DataFrame = {
     val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val inter = tok.select(col("doc_id").as("doc_a"), col("tok"))
+      .join(tok.select(col("doc_id").as("doc_b"), col("tok")), "tok")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    jaccardOf(tok, inter, minJaccard)
+  }
+
+  /** Word n-gram shingle Jaccard over all pairs — BOUNDED inputs only
+    * (shingle sets are near-unique per document, so the self-join fans out
+    * far less than token Jaccard, but the scale path is still candidates-
+    * first like [[jaccard]]). */
+  def jaccardNgram(docs: DataFrame, n: Int, minJaccard: Double): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(shingles(col("text"), n)).as("tok"))
     val inter = tok.select(col("doc_id").as("doc_a"), col("tok"))
       .join(tok.select(col("doc_id").as("doc_b"), col("tok")), "tok")
       .filter(col("doc_a") < col("doc_b"))

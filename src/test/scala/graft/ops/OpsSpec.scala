@@ -56,6 +56,22 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(j((0L, 2L)) - 7.0 / 9.0) < 0.001)
   }
 
+  test("n-gram jaccard is order-sensitive where token jaccard is not") {
+    // docs 3 and 4 share the exact token SET but in reversed order:
+    // token jaccard = 1.0, 3-gram shingle jaccard = 0 shared shingles
+    val tokJ = Dedup.jaccardAllPairs(docs, 0.0).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("jaccard")).toMap
+    val ngramJ = Dedup.jaccardNgram(docs, 3, 0.0).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("jaccard")).toMap
+    assert(tokJ((3L, 4L)) === 1.0)
+    assert(!ngramJ.contains((3L, 4L))) // zero shared shingles -> no pair row
+    assert(ngramJ((0L, 1L)) === 1.0)   // exact dup: identical shingles
+    // shingle edge: doc shorter than n yields no shingles, no crash
+    import spark.implicits._
+    val short = Seq((0L, "one two")).toDF("doc_id", "text")
+    assert(Dedup.jaccardNgram(short, 3, 0.0).collect().isEmpty)
+  }
+
   test("candidate-restricted jaccard agrees with all-pairs on the candidate set") {
     val cands = Dedup.minhashCandidates(docs)
     val restricted = Dedup.jaccard(docs, cands, 0.0).collect()
