@@ -232,6 +232,27 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got(4L) === Some(5.0))
   }
 
+  test("property: as-of equals brute force on seeded random events") {
+    val rnd = new scala.util.Random(7)
+    def randTs() = ts(f"2024-01-01 ${rnd.nextInt(24)}%02d:${rnd.nextInt(60)}%02d:00")
+    val left = (0 until 120).map(i => (i.toLong, randTs(), rnd.nextInt(5).toLong))
+    val right = (0 until 80).map(i => (rnd.nextInt(5).toLong, randTs(), (1000 + i).toLong, rnd.nextInt(100).toDouble))
+    val got = AsOfJoin.leftAsOf(
+        left.toDF("event_id", "ts", "user_id"),
+        right.toDF("user_id", "ts", "event_id", "v"),
+        "user_id", "ts", "event_id", Seq("v"))
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[java.lang.Double]("v")).map(_.toDouble)).toMap
+    // brute force: min-event-id right row per (user, ts), then latest <= ts
+    val dedupedRight = right.groupBy(r => (r._1, r._2)).values
+      .map(_.minBy(_._3)).toSeq
+    left.foreach { case (id, t, u) =>
+      val want = dedupedRight.filter(r => r._1 == u && !r._2.after(t))
+        .sortBy(_._2.getTime).lastOption.map(_._4)
+      assert(got(id) === want, s"event $id")
+    }
+  }
+
   test("plan shape: one key shuffle + window, no range-exploded join") {
     val left = Seq((1L, ts("2024-01-01 10:00:00"), 7L)).toDF("event_id", "ts", "user_id")
     val right = Seq((7L, ts("2024-01-01 08:00:00"), 9L, 1.0)).toDF("user_id", "ts", "event_id", "v")
@@ -262,6 +283,28 @@ class RangeJoinSpec extends SparkSpec {
         "ts", "w_start", "w_end", binSeconds = 300)
       .select("pid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got === Set((1L, 10L), (1L, 11L), (2L, 10L)))
+  }
+
+  test("property: bin-bucketed range join equals brute force on seeded data") {
+    val rnd = new scala.util.Random(11)
+    def randTs() = ts(f"2024-01-01 ${rnd.nextInt(24)}%02d:${rnd.nextInt(60)}%02d:00")
+    val points = (0 until 150).map(i => (i.toLong, randTs(), rnd.nextInt(4).toLong))
+    val ranges = (0 until 60).map { i =>
+      val start = randTs()
+      (100L + i, start, new java.sql.Timestamp(start.getTime + (1 + rnd.nextInt(40)) * 60000L),
+        rnd.nextInt(4).toLong)
+    }
+    val got = RangeJoin.pointsInRanges(
+        points.toDF("pid", "ts", "user_id"),
+        ranges.toDF("rid", "w_start", "w_end", "user_id"),
+        "user_id", "ts", "w_start", "w_end", binSeconds = 300)
+      .select("pid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (for {
+      (pid, t, pu) <- points
+      (rid, s, e, ru) <- ranges
+      if pu == ru && !t.before(s) && !t.after(e)
+    } yield (pid, rid)).toSet
+    assert(got === want)
   }
 
   test("plan: equi-join on (key, bin), no nested-loop/cartesian") {
