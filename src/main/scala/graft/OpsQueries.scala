@@ -100,6 +100,24 @@ object OpsQueries {
         .select(col("doc_id"), col("width"), col("height"), col("frames"))
     },
 
+    // Frame sampling: k evenly spaced frames per payload, one row each with
+    // a content signature — the bounded 1->N flatMap of a video pipeline.
+    "mm_frame_sample" -> { (s, dir) =>
+      val media = docs(s, dir)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      Multimodal.frameSample(media, k = 3).toDF()
+    },
+
+    // Resize stage: aspect-preserving resize arithmetic over the stub
+    // decode's dimensions (feature vectors are unit-tested; the gate checks
+    // the deterministic geometry).
+    "mm_features" -> { (s, dir) =>
+      val media = docs(s, dir)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      Multimodal.features(media, maxSide = 100).toDF()
+        .select("doc_id", "width", "height", "resized_w", "resized_h")
+    },
+
     // As-of (point-in-time) join: every click gets the user's most recent
     // prior-or-simultaneous purchase value. One union + one window pass —
     // never a range-exploded theta join (ops.AsOfJoin).
@@ -501,6 +519,33 @@ object OpsQueries {
          round(quantile_cont(value, 0.9), 4) AS p90,
          round(quantile_cont(value, 0.99), 4) AS p99
          FROM events GROUP BY event_type""",
+    "mm_frame_sample" ->
+      """WITH m AS (
+           SELECT doc_id, text,
+             1 + octet_length(encode(text)) // 4096 AS frames
+           FROM documents),
+         s AS (SELECT doc_id, text, frames, least(3, frames) AS n FROM m),
+         idx AS (
+           SELECT doc_id, text, frames, n,
+             unnest(generate_series(0, n - 1)) AS i
+           FROM s)
+         SELECT doc_id,
+           (CASE WHEN n = 1 THEN 0 ELSE i * (frames - 1) // (n - 1) END)::INT AS frame_idx,
+           md5(substr(text,
+             (CASE WHEN n = 1 THEN 0 ELSE i * (frames - 1) // (n - 1) END) * 4096 + 1,
+             4096)) AS frame_sig
+         FROM idx""",
+    "mm_features" ->
+      """WITH d AS (
+           SELECT doc_id,
+             16 + ascii(text[1]) % 128 AS width,
+             16 + ascii(text[2]) % 128 AS height
+           FROM documents),
+         s AS (SELECT *, least(1.0, 100.0 / greatest(width, height)) AS scale FROM d)
+         SELECT doc_id, width, height,
+           greatest(1, floor(width * scale + 0.5))::INT AS resized_w,
+           greatest(1, floor(height * scale + 0.5))::INT AS resized_h
+         FROM s""",
     "events_window_agg" ->
       """SELECT time_bucket(INTERVAL 5 MINUTE, ts) AS w_start, event_type,
          count(*) AS n, round(sum(value), 2) AS sum_value

@@ -384,6 +384,31 @@ class MultimodalSpec extends SparkSpec {
     assert(got.toSeq === again.toSeq)
   }
 
+  test("frame sampling: evenly spaced indices, bounded fan-out, distinct sigs") {
+    // 5 "frames" (18k bytes), sample k=3 -> indices 0, 2, 4
+    val big = Array.tabulate(18000)(i => (i % 251).toByte)
+    val media = Seq((1L, big)).toDF("doc_id", "payload")
+    val got = Multimodal.frameSample(media, k = 3).collect().sortBy(_.frame_idx)
+    assert(got.map(_.frame_idx).toSeq === Seq(0, 2, 4))
+    // different frame content -> different signatures; short last frame ok
+    assert(got.map(_.frame_sig).distinct.length === 3)
+    // determinism
+    val again = Multimodal.frameSample(media, k = 3).collect().sortBy(_.frame_idx)
+    assert(got.toSeq === again.toSeq)
+  }
+
+  test("features: aspect-preserving resize + fixed-dim embedding") {
+    val media = Seq((1L, Array.tabulate(64)(_.toByte))).toDF("doc_id", "payload")
+    val f = Multimodal.features(media, maxSide = 50, dim = 16).collect().head
+    assert(f.embedding.length === 16)
+    assert(f.embedding.forall(v => v >= 0.0f && v <= 1.0f))
+    // aspect ratio preserved within rounding
+    assert(math.max(f.resized_w, f.resized_h) <= 50)
+    val ratio = f.width.toDouble / f.height
+    val rratio = f.resized_w.toDouble / f.resized_h
+    assert(math.abs(ratio - rratio) < 0.1)
+  }
+
   test("byte metadata matches payload bytes") {
     val media = Seq((0L, "abc".getBytes("UTF-8"))).toDF("doc_id", "payload")
     val r = Multimodal.byteMeta(media).collect().head
