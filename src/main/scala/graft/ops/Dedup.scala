@@ -110,6 +110,9 @@ object Dedup {
                      maxHamming: Int = 3): DataFrame = {
     require(maxHamming < nBlocks,
       s"pigeonhole: $nBlocks blocks only guarantee recall up to Hamming ${nBlocks - 1}")
+    require(nBits % nBlocks == 0,
+      s"$nBits bits must split evenly into $nBlocks blocks — a remainder would " +
+        "leave the top bits un-banded and silently void the recall guarantee")
     val blockBits = nBits / nBlocks
     val fp = simhashFp(docs, nBits)
     val blocks = (0 until nBlocks).map { b =>
@@ -191,16 +194,21 @@ object Dedup {
     * cluster, keep = this doc is the cluster's min-id winner). Reuses the
     * engine's CC operator (graft.kg.Canonicalizer) — same min-label
     * propagation that canonicalizes entities. */
-  def resolve(verifiedPairs: DataFrame): DataFrame =
+  def resolve(verifiedPairs: DataFrame, localProbe: Boolean = true): DataFrame =
     graft.kg.Canonicalizer.connectedComponents(
-      verifiedPairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+      verifiedPairs.select(col("doc_a").as("src"), col("doc_b").as("dst")),
+      localProbe = localProbe)
       .select(col("id").as("doc_id"), col("component").as("cluster_id"),
         (col("id") === col("component")).as("keep"))
 
   /** The composed end-to-end dedup pipeline: LSH candidates → candidate-
-    * restricted Jaccard verification → cluster resolution. */
-  def dedupe(docs: DataFrame, minJaccard: Double): DataFrame = {
+    * restricted Jaccard verification → cluster resolution.
+    * `localProbe = false` is the open-vocabulary 100-TB setting: the CC
+    * resolution skips the driver small-graph probe and clusters fully
+    * distributed (identical output, no up-to-2M-edge driver collect). */
+  def dedupe(docs: DataFrame, minJaccard: Double,
+             localProbe: Boolean = true): DataFrame = {
     val cands = minhashCandidates(docs)
-    resolve(jaccard(docs, cands, minJaccard))
+    resolve(jaccard(docs, cands, minJaccard), localProbe)
   }
 }

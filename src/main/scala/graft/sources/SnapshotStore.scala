@@ -77,7 +77,15 @@ object SnapshotStore {
 
   /** Replace-mode commit (compaction/rewrite): the new files BECOME the
     * named tables' full content; untouched tables carry over. Readers on
-    * older versions still see the pre-compaction files (time travel). */
+    * older versions still see the pre-compaction files (time travel).
+    *
+    * The prior snapshot's meta carries forward (new keys win): a compaction
+    * must never erase watermarks other writers rely on — the streaming
+    * commitBatch exactly-once check reads meta.batch_id from the head
+    * snapshot, and a replace that dropped it would reset the watermark and
+    * re-admit replayed micro-batches. The merge happens INSIDE the retry
+    * loop against the base each attempt actually commits over, so a racing
+    * append's fresh batch_id is never clobbered by a stale copy. */
   def commitReplace(spark: SparkSession, dir: String,
                     tables: Map[String, DataFrame], maxRetries: Int = 10,
                     meta: Map[String, String] = Map.empty): Int =
@@ -91,27 +99,37 @@ object SnapshotStore {
     while (attempt < maxRetries) {
       val base = currentVersion(spark, dir)
       val v = base + 1
-      // stage: write each table's new files under this candidate version
+      // stage: write each table's new files under a WRITER-UNIQUE directory.
+      // Two racing writers both compute v = base+1; if they shared the stage
+      // path, the loser's mode-overwrite would delete the winner's staged
+      // files after the winner's manifest already referenced them. The token
+      // (pid + thread + attempt) mirrors the manifest temp-file naming, so
+      // staged file sets can never collide.
+      val token = s"${ProcessHandle.current().pid()}-${Thread.currentThread().getId}-$attempt"
       val staged: Map[String, Seq[String]] = tables.map { case (name, df) =>
-        val stageDir = s"$dir/stage/v$v/$name"
+        val stageDir = s"$dir/stage/v$v-$token/$name"
         df.write.mode("overwrite").parquet(stageDir)
         val files = f.listStatus(new Path(stageDir))
           .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
           .map(_.getPath.toString).toSeq.sorted
         name -> files
       }
-      val prev: Map[String, Seq[String]] =
-        if (base == 0) Map.empty else readSnapshot(spark, dir, base).tables
+      val prevSnap: Option[Snapshot] =
+        if (base == 0) None else Some(readSnapshot(spark, dir, base))
+      val prev: Map[String, Seq[String]] = prevSnap.map(_.tables).getOrElse(Map.empty)
       val merged = (prev.keySet ++ staged.keySet).map { t =>
         val carried = if (replace && staged.contains(t)) Nil else prev.getOrElse(t, Nil)
         t -> (carried ++ staged.getOrElse(t, Nil))
       }.toMap
+      // replace-mode meta: prior snapshot's meta carries forward, new keys win
+      val mergedMeta =
+        if (replace) prevSnap.map(_.meta).getOrElse(Map.empty) ++ meta else meta
       // publish: temp write + atomic rename; rename-to-existing fails =>
       // another writer won this version, retry against the new head
       val tmp = new Path(s"$dir/snapshots/.tmp-v$v-${Thread.currentThread().getId}.json")
       f.mkdirs(new Path(s"$dir/snapshots"))
       val out = f.create(tmp, true)
-      try out.write(render(Snapshot(v, merged, meta)).getBytes("UTF-8")) finally out.close()
+      try out.write(render(Snapshot(v, merged, mergedMeta)).getBytes("UTF-8")) finally out.close()
       if (f.rename(tmp, snapshotPath(dir, v))) return v
       f.delete(tmp, false)
       attempt += 1

@@ -91,8 +91,20 @@ object StreamingKg {
   def compactCanonicalize(spark: SparkSession, dir: String): Option[Int] = {
     import graft.sources.SnapshotStore
     SnapshotStore.read(spark, dir, "triples").map { triples =>
+      // Schema-stable rewrite: canonicalization's improvement folds into
+      // obj_canonical and the output projects back to the stream's exact
+      // column set — later micro-batches append the same schema, so
+      // SnapshotStore.read never sees a mixed-schema file list. Folding is
+      // idempotent: re-canonicalizing already-canonical values is a no-op.
+      val compacted = Canonicalizer(triples)
+        .withColumn("obj_canonical", col("obj_final"))
+        .select(triples.columns.map(col): _*)
+      // commitReplace carries the prior snapshot's meta forward internally —
+      // commitBatch's exactly-once check reads meta.batch_id from the HEAD
+      // snapshot, and a compaction that dropped it would reset the watermark
+      // to -1 and let a restarted query re-append its replayed micro-batch.
       SnapshotStore.commitReplace(spark, dir,
-        Map("triples" -> Canonicalizer(triples)),
+        Map("triples" -> compacted),
         meta = Map("compaction" -> "canonicalize"))
     }
   }

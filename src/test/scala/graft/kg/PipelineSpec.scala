@@ -51,6 +51,24 @@ class CanonicalizerSpec extends SparkSpec {
     assert(dist === local)
   }
 
+  test("connectedComponents localProbe=false: distributed rounds engage, same output") {
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (10L, 12L), (20L, 21L))
+      .toDF("src", "dst")
+    val probed = Canonicalizer.connectedComponents(edges)
+    val unprobed = Canonicalizer.connectedComponents(edges, localProbe = false)
+    // the probed path collapses a small graph to a driver LocalRelation;
+    // the probed path collapses a small graph to a driver LocalRelation;
+    // skipping the probe must leave a distributed result (the min-label
+    // rounds localCheckpoint → LogicalRDD) — i.e. no driver collect happened
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    assert(probed.queryExecution.optimizedPlan.isInstanceOf[LocalRelation])
+    assert(unprobed.queryExecution.optimizedPlan.collectLeaves()
+      .forall(!_.isInstanceOf[LocalRelation]))
+    val l = probed.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val d = unprobed.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d === l)
+  }
+
   test("salted alignment equals broadcast alignment") {
     val dims = Dims.tiny(spark)
     val triples = Seq(
@@ -66,6 +84,32 @@ class CanonicalizerSpec extends SparkSpec {
       .select("url", "obj_name", "obj_canonical", "obj_linked")
       .collect().map(_.toSeq).toSet
     assert(a === b)
+  }
+
+  test("AQE-managed hydration equals the broadcast-hinted path") {
+    val dims = Dims.tiny(spark)
+    val prepared = Hydrator.prepare(dims)
+    val triples = Seq(
+      ("u1", "h1", "m", "Minnesota", "contains", "Shakopee Formation", "strat"),
+      ("u2", "h2", "m", "Minnesota", "contains", "gold", "mineral"),
+      ("u3", "h3", "m", "Wisconsin", "contains", "shale", "lith"))
+      .toDF("url", "hashed_text", "model_id", "subj_name", "predicate", "obj_name", "obj_kind")
+    val canonical = Canonicalizer(Linker.align(triples, Linker.aliasDim(dims)))
+    val ts = java.sql.Timestamp.valueOf("2024-06-01 00:00:00")
+    val cols = Seq("url", "obj_final", "strat_name", "mineral", "lith",
+      "subj_lat", "subj_lon", "formula")
+    val hinted = Hydrator.hydratePrepared(canonical, prepared, ts)
+    val aqe = Hydrator.hydratePrepared(canonical, prepared, ts, broadcastDims = false)
+    // hinted path: the four dim joins add four pinned broadcast hints over
+    // whatever the upstream (alignment) plan already carries; the AQE path
+    // adds none (AQE may still CHOOSE broadcast — the point is it can also
+    // demote if a web-scale dim outgrows memory)
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    def nHints(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.analyzed.collect { case h: ResolvedHint => h }.size
+    assert(nHints(hinted) === nHints(aqe) + 4)
+    assert(aqe.select(cols.map(col): _*).collect().map(_.toSeq).toSet ===
+      hinted.select(cols.map(col): _*).collect().map(_.toSeq).toSet)
   }
 }
 

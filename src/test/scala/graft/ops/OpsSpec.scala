@@ -135,6 +135,31 @@ class DedupSpec extends SparkSpec {
     assert(got(20L) === ((20L, true)))
     assert(got(21L) === ((20L, false)))
   }
+
+  test("resolve localProbe=false: open-vocabulary path skips the driver probe, same clusters") {
+    import spark.implicits._
+    val verified = Seq((10L, 11L), (11L, 12L), (20L, 21L)).toDF("doc_a", "doc_b")
+    val probed = Dedup.resolve(verified).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val open = Dedup.resolve(verified, localProbe = false)
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    // distributed result (checkpointed min-label rounds), never a driver
+    // LocalRelation => the small-graph collect did not run
+    assert(open.queryExecution.optimizedPlan.collectLeaves()
+      .forall(!_.isInstanceOf[LocalRelation]))
+    assert(open.collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet === probed)
+  }
+
+  test("simhash near-dup rejects block widths that would void the recall bound") {
+    import spark.implicits._
+    val d = Seq((1L, "a b")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Dedup.simhashNearDup(d, nBits = 30, nBlocks = 4) // 30 % 4 != 0
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.simhashNearDup(d, nBits = 32, nBlocks = 4, maxHamming = 4)
+    }
+  }
 }
 
 class SimilaritySpec extends SparkSpec {

@@ -98,4 +98,52 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(done.length === done.distinct.length)
     assert(done.toSet === pages.select("url").collect().map(_.getString(0)).toSet)
   }
+
+  test("concurrent writers: racing commits never clobber each other's staged files") {
+    val dir = tmp("snaprace")
+    SnapshotStore.commit(spark, dir, Map("t" -> Seq((0L, "base")).toDF("id", "v")))
+    // Both writers race for v2 with the SAME table name: before stage paths
+    // were writer-unique, the loser's mode-overwrite deleted the winner's
+    // staged files AFTER the winner's manifest referenced them.
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (1 to 4).map { i =>
+      new Thread(() =>
+        try SnapshotStore.commit(spark, dir,
+          Map("t" -> Seq((i.toLong, s"w$i")).toDF("id", "v")))
+        catch { case t: Throwable => errs.add(t) })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, s"commit failed: ${Option(errs.peek()).map(_.getMessage)}")
+    // every version's manifest must reference only files that exist
+    val head = SnapshotStore.currentVersion(spark, dir)
+    assert(head === 5)
+    (1 to head).foreach { v =>
+      SnapshotStore.readSnapshot(spark, dir, v).tables.values.flatten.foreach { f =>
+        assert(java.nio.file.Files.exists(
+          java.nio.file.Paths.get(new java.net.URI(f).getPath)), s"missing staged file $f (v$v)")
+      }
+    }
+    // and the head union carries every writer's row exactly once
+    val rows = SnapshotStore.read(spark, dir, "t").get
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rows === Set((0L, "base"), (1L, "w1"), (2L, "w2"), (3L, "w3"), (4L, "w4")))
+  }
+
+  test("replace-mode commit carries prior meta forward; new keys win") {
+    val dir = tmp("snapmeta")
+    SnapshotStore.commit(spark, dir, Map("t" -> Seq((1L, "a")).toDF("id", "v")),
+      meta = Map("batch_id" -> "7", "owner" -> "stream"))
+    SnapshotStore.commitReplace(spark, dir,
+      Map("t" -> Seq((1L, "a2")).toDF("id", "v")),
+      meta = Map("compaction" -> "canonicalize", "owner" -> "compactor"))
+    val m = SnapshotStore.readSnapshot(spark, dir, 2).meta
+    assert(m.get("batch_id").contains("7"))          // watermark preserved
+    assert(m.get("compaction").contains("canonicalize"))
+    assert(m.get("owner").contains("compactor"))     // new key wins
+    // append-mode commits do NOT inherit meta (each batch stamps its own)
+    SnapshotStore.commit(spark, dir, Map("t" -> Seq((2L, "b")).toDF("id", "v")),
+      meta = Map("batch_id" -> "8"))
+    val m3 = SnapshotStore.readSnapshot(spark, dir, 3).meta
+    assert(m3 === Map("batch_id" -> "8"))
+  }
 }

@@ -82,19 +82,30 @@ class StreamingSpec extends SparkSpec {
     StreamingKg.commitBatch(dir, "triples", aligned("u1", "Foo Formation"), 0)
     StreamingKg.commitBatch(dir, "triples", aligned("u2", "foo formation."), 1)
     val before = SnapshotStore.read(spark, dir, "triples").get
-    assert(!before.columns.contains("obj_final"))
 
     val v = StreamingKg.compactCanonicalize(spark, dir)
     assert(v.contains(3))
     val after = SnapshotStore.read(spark, dir, "triples").get
-      .select("obj_name", "obj_final", "entity_cluster_id").collect()
-      .map(r => r.getString(0) -> (r.getString(1), r.getLong(2))).toMap
-    assert(after("Foo Formation")._1 === "Foo Formation")
-    assert(after("foo formation.")._1 === "Foo Formation")
-    assert(after("Foo Formation")._2 === after("foo formation.")._2)
+    // schema-stable rewrite: canonicalization folds into obj_canonical, the
+    // column set never drifts from the stream's append schema
+    assert(after.columns.toSeq === before.columns.toSeq)
+    val canon = after.select("obj_name", "obj_canonical").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(canon("Foo Formation") === "Foo Formation")
+    assert(canon("foo formation.") === "Foo Formation")
+    // the batch_id watermark survives the replace-mode commit: a restarted
+    // query replaying its last micro-batch must still be skipped
+    assert(SnapshotStore.readSnapshot(spark, dir, 3).meta.get("batch_id")
+      .contains("1"))
+    assert(StreamingKg.commitBatch(dir, "triples", aligned("u2", "foo formation."), 1).isEmpty)
+    // and later micro-batches append the same schema readably
+    StreamingKg.commitBatch(dir, "triples", aligned("u3", "FOO formation"), 2)
+    val mixed = SnapshotStore.read(spark, dir, "triples").get
+    assert(mixed.columns.toSeq === before.columns.toSeq && mixed.count() === 3)
     // time travel: the pre-compaction version is still readable, uncompacted
     val old = SnapshotStore.read(spark, dir, "triples", Some(2)).get
-    assert(old.count() === 2 && !old.columns.contains("obj_final"))
+    assert(old.count() === 2)
+    assert(old.filter(col("obj_canonical") === "foo formation.").count() === 1)
   }
 
   test("watermarked windowed aggregation over an event stream") {
