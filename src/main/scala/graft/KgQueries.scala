@@ -37,20 +37,59 @@ object KgQueries {
   /** Pinned golden triple set for the kg_rdf_triples oracle — the gate
     * analogue of the reference's golden TTL files (tests/fixtures/
     * test_triplet_to_rdf_*.ttl at tests/test_gkm.py:107-117): the fixture
-    * pipeline's full RDF output, frozen as a VALUES relation. Parity with
-    * the reference's asserted atoms is proven by GoldenTtlSpec/RdfSpec;
-    * this catches any regression of the other ~550 rows at the gate.
-    * Regenerate via graft.tools.GoldenRdf after intentional changes. */
-  private lazy val goldenRdfValues: String = {
-    val in = getClass.getResourceAsStream("/golden/kg_rdf_triples.tsv")
+    * pipeline's full RDF output, frozen as a VALUES relation over FULL
+    * literal identity (object term + is-literal flag + lang tag + datatype —
+    * the reference's isomorphism check covers all of these,
+    * tests/test_gkm.py:114-117). Parity with the reference's asserted atoms
+    * is proven by GoldenTtlSpec/RdfSpec and the independently hand-derived
+    * kg_rdf_golden_slice; this catches any regression of the other ~550
+    * rows at the gate. Regenerate via graft.tools.GoldenRdf after
+    * intentional changes. */
+  private def goldenTsvValues(resource: String): String = {
+    val in = getClass.getResourceAsStream(resource)
     val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    def q(v: String) = "'" + v.replace("'", "''") + "'"
     try src.getLines().map { line =>
-      val Array(u, s, p, o) = line.split("\t", -1)
-      def q(v: String) = "'" + v.replace("'", "''") + "'"
-      s"(${q(u)}, ${q(s)}, ${q(p)}, ${q(o)})"
+      val fields = line.split("\t", -1)
+      fields.map(f => if (f == "true" || f == "false") f else q(f))
+        .mkString("(", ", ", ")")
     }.mkString(", ")
     finally src.close()
   }
+  private lazy val goldenRdfValues = goldenTsvValues("/golden/kg_rdf_triples.tsv")
+  private lazy val goldenTtlValues = goldenTsvValues("/golden/kg_rdf_ttl.tsv")
+
+  /** Per-session gate bootstrap cache: the tiny dim snapshot, its prepared
+    * (first-hit-deduped) hydration keys and the alias dim are identical
+    * across every KG gate query — building them once per session removes
+    * the dominant fixed cost of the chain-running queries (dedup windows +
+    * broadcast builds were 27% of the visible gate wall at sf0.1). */
+  private val dimCache = new java.util.concurrent.ConcurrentHashMap[
+    SparkSession, (Dims.Snapshot, Hydrator.Prepared, DataFrame)]()
+  private def cachedDims(s: SparkSession): (Dims.Snapshot, Hydrator.Prepared, DataFrame) =
+    dimCache.computeIfAbsent(s, s => {
+      val dims = Dims.tiny(s).persisted()
+      (dims, Hydrator.prepare(dims).cached(), Linker.aliasDim(dims).cache())
+    })
+
+  /** Per-session fixture-pipeline RDF result, shared by the three RDF gate
+    * queries (full set, TTL documents, hand-derived slice) — one pipeline
+    * materialization, three sinks, exactly the reuse a production job gets
+    * from its persisted stage boundary. */
+  private val rdfCache = new java.util.concurrent.ConcurrentHashMap[
+    SparkSession, org.apache.spark.sql.Dataset[Model.RdfTriple]]()
+  private def fixtureRdf(s: SparkSession): org.apache.spark.sql.Dataset[Model.RdfTriple] =
+    rdfCache.computeIfAbsent(s, s => {
+      val (dims, prepared, alias) = cachedDims(s)
+      val client = Inference.defaultClient(
+        Dims.pinnedStrat.map(_.strat_name).toArray,
+        Dims.gazetteer.map(_.name).toArray,
+        Dims.pinnedMinerals.map(_.mineral).toArray)
+      KgPipeline.run(s, Pages.fixtures(s), dims, client,
+        KgPipeline.Config(numPartitions = 4, emitRdf = true,
+          prebuiltAlias = Some(alias), preparedDims = Some(prepared)))
+        .rdf.get.persist()
+    })
 
   val queries: Map[String, Q] = Map(
     // P11 + §7.2-1: page synthesis + the byte-identical extract invariant.
@@ -134,7 +173,7 @@ object KgQueries {
     // the oracle inlines the same rows.
     "kg_lith_hydrate" -> { (s, dir) =>
       import s.implicits._
-      val dims = Dims.tiny(s)
+      val (_, prepared, alias) = cachedDims(s)
       val variants = Dims.pinnedLith.map(_.lith).toDF("lith_name")
         .withColumn("surface", explode(array(col("lith_name"),
           initcap(col("lith_name")), concat(col("lith_name"), lit(".")))))
@@ -143,9 +182,9 @@ object KgQueries {
           lit("m").as("model_id"), lit("Wisconsin").as("subj_name"),
           lit("contains").as("predicate"),
           col("surface").as("obj_name"), lit(Model.ObjKind.Lith).as("obj_kind"))
-      val aligned = Linker.align(variants, Linker.aliasDim(dims))
+      val aligned = Linker.align(variants, alias)
       val canonical = Canonicalizer(aligned)
-      val hydrated = Hydrator.hydrate(canonical, dims,
+      val hydrated = Hydrator.hydratePrepared(canonical, prepared,
         java.sql.Timestamp.valueOf("2024-06-01 00:00:00"))
       hydrated.select(col("obj_name").as("surface"), col("obj_final"),
         col("lith"), col("lith_id"), col("lith_type"), col("lith_class"))
@@ -183,20 +222,48 @@ object KgQueries {
           concat_ws(";", array_sort(collect_list(col("tkey")))).as("graph_key"))
     },
 
-    // G1-G11: full RDF materialization over the reference fixture pages —
-    // not SQL-expressible, so this records the driver's weaker rows-only
-    // check; graph-level assertions live in RdfSpec.
+    // G1-G11: full RDF materialization over the reference fixture pages,
+    // gated on FULL literal identity (term + is-literal + lang + datatype —
+    // what the reference's isomorphism assert compares,
+    // tests/test_gkm.py:114-117) against the pinned golden set.
     "kg_rdf_triples" -> { (s, dir) =>
-      val dims = Dims.tiny(s)
-      val client = Inference.defaultClient(
-        Dims.pinnedStrat.map(_.strat_name).toArray,
-        Dims.gazetteer.map(_.name).toArray,
-        Dims.pinnedMinerals.map(_.mineral).toArray)
-      val res = KgPipeline.run(s, Pages.fixtures(s), dims, client,
-        KgPipeline.Config(numPartitions = 4, emitRdf = true))
-      res.rdf.get.toDF().select("url", "subj", "pred", "obj")
+      fixtureRdf(s).toDF()
+        .select("url", "subj", "pred", "obj", "obj_is_literal", "lang", "datatype")
+    },
+
+    // S12: the TTL serializer itself, gated — one Turtle document per page,
+    // hashed (a serialization regression that graph-row checks can't see —
+    // prefix table, term quoting, escaping, line order — flips the hash).
+    "kg_rdf_ttl" -> { (s, dir) =>
+      Rdf.toTtl(fixtureRdf(s)).select(col("url"), md5(col("ttl")).as("ttl_md5"))
+    },
+
+    // Two-sided RDF oracle (the pinned golden set is engine-generated; this
+    // one is NOT): the G2/G3/G4 object-node + type + label rows for all ten
+    // Sauk-fixture triplets, hand-derived from reference semantics alone —
+    // object_node_stratigraphy (stratigraphy.py:14-26: MSL + entity_name of
+    // strat_name_long-else-strat_name), stratigraphic_type (:89-114:
+    // RANK_LOOKUP[rank]) and stratigraphic_label (:117-131: long name, @en)
+    // applied to the pinned Macrostrat dim rows. The oracle VALUES below
+    // were written by hand from those functions; the engine never produced
+    // them.
+    "kg_rdf_golden_slice" -> { (s, dir) =>
+      val objectNodes = SaukObjectNodes.map(Rdf.MSL + _)
+      fixtureRdf(s).toDF()
+        .filter(col("url") === "https://fixtures.graft/sauk" &&
+          col("pred").isin(Rdf.RDF_ + "type", Rdf.RDFS_ + "label") &&
+          col("subj").isin(objectNodes: _*))
+        .select("subj", "pred", "obj", "obj_is_literal", "lang", "datatype")
     }
   )
+
+  /** The ten Sauk-triplet object nodes, by reference rule (entity_name of
+    * the hydrated strat_name_long): hand-derivable from SaukRawOutput +
+    * the pinned dim rows, independent of the engine. */
+  val SaukObjectNodes: Seq[String] = Seq(
+    "ShakopeeFormation", "RoubidouxFormation", "JeffersonCityDolomite",
+    "CotterDolomite", "PowellDolomite", "SmithvilleFormation",
+    "BlackRockFormation", "EvertonFormation", "JasperMember", "SaukSequence")
 
   val oracles: Map[String, String] = Map(
     "kg_pages" ->
@@ -311,6 +378,32 @@ object KgQueries {
            FROM documents)
          WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 10""",
     "kg_rdf_triples" ->
-      s"SELECT * FROM (VALUES $goldenRdfValues) t(url, subj, pred, obj)"
+      s"SELECT * FROM (VALUES $goldenRdfValues) t(url, subj, pred, obj, obj_is_literal, lang, datatype)",
+    "kg_rdf_ttl" ->
+      s"SELECT * FROM (VALUES $goldenTtlValues) t(url, ttl_md5)",
+    "kg_rdf_golden_slice" -> {
+      // HAND-DERIVED from reference semantics (never engine output):
+      // per Sauk triplet, hydrate by name against the pinned dim rows, then
+      //   node  = MSL + entity_name(strat_name_long)   [stratigraphy.py:14-26]
+      //   type  = RANK_LOOKUP[rank]                    [stratigraphy.py:89-114]
+      //   label = Literal(strat_name_long, lang="en")  [stratigraphy.py:117-131]
+      val derived: Seq[(String, String, String)] = Seq(
+        // (object node,            gsgu rank class, label)
+        ("ShakopeeFormation",      "Formation",  "Shakopee Formation"),
+        ("RoubidouxFormation",     "Formation",  "Roubidoux Formation"),
+        ("JeffersonCityDolomite",  "Formation",  "Jefferson City Dolomite"),
+        ("CotterDolomite",         "Formation",  "Cotter Dolomite"),
+        ("PowellDolomite",         "Formation",  "Powell Dolomite"),
+        ("SmithvilleFormation",    "Formation",  "Smithville Formation"),
+        ("BlackRockFormation",     "Formation",  "Black Rock Formation"),
+        ("EvertonFormation",       "Formation",  "Everton Formation"),
+        ("JasperMember",           "Member",     "Jasper Member"),
+        ("SaukSequence",           "Supergroup", "Sauk Sequence"))
+      val rows = derived.flatMap { case (node, rankCls, label) => Seq(
+        s"('${kg.Rdf.MSL}$node', '${kg.Rdf.RDF_}type', '${kg.Rdf.GSGU}$rankCls', false, '', '')",
+        s"('${kg.Rdf.MSL}$node', '${kg.Rdf.RDFS_}label', '$label', true, 'en', '')")
+      }
+      s"SELECT * FROM (VALUES ${rows.mkString(", ")}) t(subj, pred, obj, obj_is_literal, lang, datatype)"
+    }
   )
 }
