@@ -207,6 +207,34 @@ object KgQueries {
         .limit(10)
     },
 
+    // S1, semantic variant (askxdd.py:77-120 with_near_text): rank pages by
+    // COSINE of text embeddings instead of raw term counts. Embeddings are
+    // deterministic hashed bag-of-words (dim i = count of tokens whose
+    // md5 starts with hex digit i) — the engine-portable stand-in for a
+    // model embedding column; the ranking machinery (vector featurize →
+    // cosine → top-k) is the real thing and runs on the same codegen'd
+    // dot_product expression as the similarity stack.
+    "kg_retrieval_semantic" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val tok = docs.select(col("doc_id"),
+          explode(filter(split(col("text"), " "), t => t =!= "")).as("tok"))
+        .withColumn("b", substring(md5(col("tok")), 1, 1))
+      val sums = (0 until 16).map(i =>
+        sum(when(col("b") === HexDigits(i).toString, 1).otherwise(0))
+          .cast("double").as(s"c$i"))
+      val emb = tok.groupBy("doc_id").agg(sums.head, sums.tail: _*)
+        .select(col("doc_id"),
+          array((0 until 16).map(i => col(s"c$i")): _*).as("embedding"))
+      val qv = semanticQueryVector(SemanticQuery)
+      val qNorm = math.sqrt(qv.map(x => x * x).sum)
+      val qCol = array(qv.map(lit): _*)
+      emb.select(col("doc_id"),
+          round(graft.ops.Similarity.dot(col("embedding"), qCol) /
+            (graft.ops.Similarity.norm(col("embedding")) * lit(qNorm)), 4).as("score"))
+        .orderBy(desc("score"), col("doc_id"))
+        .limit(10)
+    },
+
     // GraphOutput regrouping: the reference's output unit is a per-paragraph
     // graph (schema.py:432-447 GraphOutput = text hash + triplet list); this
     // regroups the exploded triples back to one row per page with a sorted,
@@ -256,6 +284,25 @@ object KgQueries {
         .select("subj", "pred", "obj", "obj_is_literal", "lang", "datatype")
     }
   )
+
+  private val HexDigits = "0123456789abcdef"
+
+  /** The retrieval question for the semantic gate query. */
+  val SemanticQuery = "spark join table window stream"
+
+  /** Hashed bag-of-words featurization of a query string — dim i counts the
+    * query tokens whose md5 begins with hex digit i (the same rule the
+    * per-document embeddings use, so driver-side Scala and the two engines
+    * agree byte-for-byte). */
+  def semanticQueryVector(q: String): Array[Double] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val v = new Array[Double](16)
+    q.split(" ").filter(_.nonEmpty).foreach { t =>
+      val h = md.digest(t.getBytes("UTF-8"))
+      v(((h(0) >> 4) & 0xf)) += 1.0
+    }
+    v
+  }
 
   /** The ten Sauk-triplet object nodes, by reference rule (entity_name of
     * the hydrated strat_name_long): hand-derivable from SaukRawOutput +
@@ -370,6 +417,23 @@ object KgQueries {
           SELECT doc_id, count(*) AS n_triplets,
             string_agg(tkey, ';' ORDER BY tkey) AS graph_key
           FROM t GROUP BY doc_id""",
+    "kg_retrieval_semantic" -> {
+      val qv = semanticQueryVector(SemanticQuery)
+      val qNorm = math.sqrt(qv.map(x => x * x).sum)
+      val sums = (0 until 16)
+        .map(i => s"sum(CASE WHEN b = '${HexDigits(i)}' THEN 1 ELSE 0 END)::DOUBLE")
+        .mkString(", ")
+      val qvSql = qv.mkString("[", ", ", "]")
+      s"""WITH tok AS (
+            SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+            FROM documents),
+          b AS (SELECT doc_id, substr(md5(tok), 1, 1) AS b FROM tok),
+          emb AS (SELECT doc_id, [$sums] AS emb FROM b GROUP BY doc_id)
+          SELECT doc_id,
+            round(list_dot_product(emb, $qvSql) /
+              (sqrt(list_dot_product(emb, emb)) * $qNorm), 4) AS score
+          FROM emb ORDER BY score DESC, doc_id LIMIT 10"""
+    },
     "kg_retrieval_topk" ->
       """SELECT doc_id, score FROM (
            SELECT doc_id,

@@ -68,6 +68,18 @@ object OpsQueries {
       Similarity.ivfTopK(embs(s, dir), queryId = 0, k = 10, nprobe = 3)
     },
 
+    // Deterministic Lloyd's k-means (fixed init = first-k vectors, 2 rounds,
+    // round-6 centroids): the trained IVF codebook — full assignment gated.
+    "sim_kmeans" -> { (s, dir) =>
+      Similarity.kmeans(embs(s, dir), k = 5, iters = 2)
+    },
+
+    // IVF top-k over the TRAINED k-means quantizer (probe 3 of 5 cells).
+    "sim_ivf_kmeans" -> { (s, dir) =>
+      Similarity.ivfTopKKmeans(embs(s, dir), queryId = 0, k = 10, nprobe = 3,
+        kClusters = 5, iters = 2)
+    },
+
     "text_langid" -> { (s, dir) => TextOps.langId(docs(s, dir)) },
     "text_langid_multi" -> { (s, dir) => TextOps.langIdMulti(docs(s, dir)) },
     "text_quality" -> { (s, dir) => TextOps.quality(docs(s, dir)) },
@@ -222,6 +234,35 @@ object OpsQueries {
       (b, s"md5($cols)")
     }
   }
+  /** k-means oracle CTE builders, mirroring Similarity.kmeansAssign /
+    * kmeansCentroids exactly: squared-L2 argmin with (dist, cluster)
+    * tie-break; centroid components round(avg, 6) per round. */
+  private def kmSqDist(e: String, c: String): String =
+    s"round(list_dot_product($e, $e) - 2*list_dot_product($e, $c) + list_dot_product($c, $c), 6)"
+  private def kmAssign(cTbl: String, out: String): String =
+    s"""$out AS (
+        SELECT vec_id, cluster FROM (
+          SELECT e.vec_id, c.cluster,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY ${kmSqDist("e.emb", "c.centroid")}, c.cluster) AS rn
+          FROM e CROSS JOIN $cTbl c) WHERE rn = 1)"""
+  private def kmUpdate(aTbl: String, out: String): String =
+    s"""$out AS (
+        SELECT cluster, list(c ORDER BY pos) AS centroid FROM (
+          SELECT cluster, pos, round(avg(v), 6) AS c FROM (
+            SELECT cluster, generate_subscripts(emb, 1) AS pos, unnest(emb) AS v
+            FROM $aTbl JOIN e USING (vec_id)) GROUP BY 1, 2) GROUP BY cluster)"""
+  private val kmChain: String =
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+       c0 AS (SELECT vec_id::INT AS cluster,
+                list_transform(emb, x -> round(x, 6)) AS centroid
+              FROM e WHERE vec_id < 5),
+       ${kmAssign("c0", "a1")},
+       ${kmUpdate("a1", "c1")},
+       ${kmAssign("c1", "a2")},
+       ${kmUpdate("a2", "c2")},
+       ${kmAssign("c2", "af")}"""
+
   private def simhashSumsN(n: Int): String = (0 until n)
     .map(i => s"sum(CASE WHEN substr(md5(tok), ${i + 1}, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS s$i")
     .mkString(", ")
@@ -395,6 +436,21 @@ object OpsQueries {
              (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
               sqrt(list_dot_product(q, q))), 4) AS cos_sim
          FROM embeddings e JOIN probed ON e.label = probed.label, q
+         WHERE vec_id <> 0
+         ORDER BY cos_sim DESC, vec_id LIMIT 10""",
+    "sim_kmeans" ->
+      s"""WITH $kmChain
+         SELECT vec_id, cluster FROM af""",
+    "sim_ivf_kmeans" ->
+      s"""WITH $kmChain,
+         q AS (SELECT emb AS q FROM e WHERE vec_id = 0),
+         probed AS (
+           SELECT cluster FROM c2, q
+           ORDER BY ${kmSqDist("centroid", "q")}, cluster LIMIT 3)
+         SELECT vec_id, af.cluster,
+           round(list_dot_product(emb, q) /
+             (sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(q, q))), 4) AS cos_sim
+         FROM e JOIN af USING (vec_id) JOIN probed ON af.cluster = probed.cluster, q
          WHERE vec_id <> 0
          ORDER BY cos_sim DESC, vec_id LIMIT 10""",
     "text_langid" ->

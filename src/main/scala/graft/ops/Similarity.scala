@@ -90,6 +90,89 @@ object Similarity {
       .limit(k)
   }
 
+  // --- deterministic k-means (trained IVF codebook) ------------------------
+
+  /** Squared-L2 distance between two embedding columns, rounded to 6
+    * decimals — the rounding pins cross-engine fp drift so argmin
+    * assignments are reproducible in any engine (same rationale as the
+    * cos_sim round(4) contract). */
+  private def sqDist(e: Column, c: Column): Column =
+    round(dot(e, e) - lit(2.0) * dot(e, c) + dot(c, c), 6)
+
+  /** Nearest-centroid assignment: (vec_id, cluster, dist); argmin over
+    * squared L2 with cluster-id tie-break (min over the (dist, cluster)
+    * struct — lexicographic, deterministic). The only crossJoin is against
+    * the broadcast k-row centroid table (bounded by construction). */
+  def kmeansAssign(embeddings: DataFrame, centroids: DataFrame): DataFrame =
+    embeddings.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("cluster"),
+        sqDist(col("embedding"), col("centroid")).as("dist"))
+      .groupBy("vec_id")
+      .agg(min(struct(col("dist"), col("cluster"))).as("m"))
+      .select(col("vec_id"), col("m.cluster").as("cluster"), col("m.dist").as("dist"))
+
+  /** Deterministic Lloyd's k-means over the embedding column — a TRAINED
+    * coarse quantizer for IVF instead of the `label` stand-in. Fully
+    * deterministic and engine-portable (reproducible by the DuckDB oracle):
+    * init = the embeddings of the k smallest vec_ids; `iters` full Lloyd
+    * rounds; centroid components rounded to 6 decimals per round; empty
+    * clusters simply vanish (standard Lloyd behavior). Expressed as a
+    * DataFrame loop like the CC rounds — per-round localCheckpoint
+    * truncates lineage so Catalyst never re-analyzes a growing plan; at
+    * 10^12 rows the update is one posexplode shuffle keyed on
+    * (cluster, pos), map-side combined, per round. */
+  def kmeansCentroids(embeddings: DataFrame, k: Int, iters: Int): DataFrame = {
+    val e = embeddings.select(col("vec_id"), col("embedding"))
+    var cents = e.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("int").as("cluster"),
+        transform(col("embedding"), x => round(x, 6)).as("centroid"))
+      .localCheckpoint(true)
+    for (_ <- 0 until iters) {
+      val assigned = kmeansAssign(e, cents).select("vec_id", "cluster")
+      val dim = assigned.join(e, "vec_id")
+        .select(col("cluster"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("cluster", "pos").agg(round(avg(col("v")), 6).as("c"))
+      cents = dim.groupBy("cluster")
+        .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+        .select(col("cluster"), transform(col("pc"), x => x.getField("c")).as("centroid"))
+        .localCheckpoint(true)
+    }
+    cents
+  }
+
+  /** Final k-means cluster assignment after `iters` Lloyd rounds. */
+  def kmeans(embeddings: DataFrame, k: Int, iters: Int): DataFrame =
+    kmeansAssign(embeddings, kmeansCentroids(embeddings, k, iters))
+      .select("vec_id", "cluster")
+
+  /** IVF search over the TRAINED k-means codebook: probe the `nprobe`
+    * centroids nearest the query (squared L2), scan only their clusters,
+    * return top-k by cosine — the same probe-then-scan pruning as
+    * [[ivfTopK]] but with a real trained quantizer instead of the corpus
+    * label column. */
+  def ivfTopKKmeans(embeddings: DataFrame, queryId: Long, k: Int, nprobe: Int,
+                    kClusters: Int, iters: Int): DataFrame = {
+    val cents = kmeansCentroids(embeddings, kClusters, iters)
+    val assigned = kmeansAssign(embeddings, cents).select("vec_id", "cluster")
+    val q = embeddings.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q"))
+    val probed = cents.crossJoin(broadcast(q))
+      .select(col("cluster"), sqDist(col("centroid"), col("q")).as("d"))
+      .orderBy(col("d"), col("cluster"))
+      .limit(nprobe)
+      .select("cluster")
+    embeddings.join(assigned, "vec_id")
+      .filter(col("vec_id") =!= queryId)
+      .join(broadcast(probed), "cluster") // cluster pruning: only probed cells scanned
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("cluster"),
+        round(dot(col("embedding"), col("q")) /
+          (norm(col("embedding")) * norm(col("q"))), 4).as("cos_sim"))
+      .orderBy(desc("cos_sim"), col("vec_id"))
+      .limit(k)
+  }
+
   /** Embedding near-duplicate pairs via random-hyperplane LSH — the
     * 10^12-row shape: no all-pairs join anywhere in the plan.
     *

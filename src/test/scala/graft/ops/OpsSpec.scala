@@ -207,6 +207,32 @@ class SimilaritySpec extends SparkSpec {
     assert(full.nonEmpty)
   }
 
+  test("kmeans: deterministic Lloyd recovers the planted clusters") {
+    val assign = Similarity.kmeans(embs, k = 4, iters = 2).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(assign.size === 40)
+    // planted structure: id % 4 decides the dominant axis; after 2 rounds
+    // every member of a planted cluster shares one centroid
+    (0 until 4).foreach { c =>
+      val members = (0L until 40L).filter(_ % 4 == c).map(assign)
+      assert(members.distinct.size === 1, s"cluster $c split: $members")
+    }
+    assert((0 until 4).map(c => assign(c.toLong)).distinct.size === 4)
+    // deterministic: a second run is identical
+    val again = Similarity.kmeans(embs, k = 4, iters = 2).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(again === assign)
+  }
+
+  test("ivf over trained codebook equals brute force when every cell is probed") {
+    val brute = Similarity.bruteTopK(embs, 0, 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val ivf = Similarity.ivfTopKKmeans(embs, 0, 10, nprobe = 4,
+        kClusters = 4, iters = 2).collect()
+      .map(r => (r.getLong(0), r.getDouble(2)))
+    assert(ivf.toSeq === brute.toSeq)
+  }
+
   test("LSH near-dup: buckets split sign-opposed clusters, verify stage exact") {
     // two antipodal clusters: +e0-ish and -e0-ish — hyperplane signs
     // separate them, so no cross-cluster candidate can survive
