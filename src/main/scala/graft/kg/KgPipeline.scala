@@ -34,6 +34,12 @@ object KgPipeline {
       // false => entity space is known-unbounded (open-vocabulary web
       // extraction): go straight to distributed CC, skip the driver probe.
       canonLocalProbe: Boolean = true,
+      // Some(minJaccard) => corpus dedup gate BEFORE extraction work is
+      // spent on duplicates (the standard training-data gate): MinHash-LSH
+      // candidates → candidate-restricted Jaccard → CC resolution over the
+      // extracted text; only each duplicate cluster's min-id winner flows
+      // into inference. Drops are counted in the lineage `dedup` stage.
+      dedupMinJaccard: Option[Double] = None,
       emitRdf: Boolean = false,
       checkpointDir: Option[String] = None,
       jobStart: java.sql.Timestamp = java.sql.Timestamp.valueOf("2024-06-01 00:00:00"),
@@ -99,9 +105,36 @@ object KgPipeline {
       .withColumnRenamed("extracted_text", "text")
       .withColumn("hashed_text", sha2(col("text"), 256))
 
+    // Optional corpus dedup gate (training-data hygiene): runs on the
+    // extracted text BEFORE any inference tokens are spent on duplicates.
+    // Doc ids are content-derived url hashes; the loser set (keep = false)
+    // is duplicate-cluster members only — tiny next to the corpus — so the
+    // marking join broadcasts under AQE. `marked` is persisted because the
+    // dedup candidate generation + the downstream pipeline both consume it.
+    val (deduped, dedupStats) = cfg.dedupMinJaccard match {
+      case Some(minJ) =>
+        val withId = slim.withColumn("doc_id", xxhash64(col("url")))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val losers = graft.ops.Dedup
+          .dedupe(withId.select("doc_id", "text"), minJ, cfg.canonLocalProbe)
+          .filter(!col("keep")).select(col("doc_id").as("drop_id"))
+        val marked = withId
+          .join(losers, withId("doc_id") === losers("drop_id"), "left")
+          .withColumn("dedup_keep", col("drop_id").isNull)
+          .drop("drop_id", "doc_id")
+        val stats = marked
+          .groupBy(spark_partition_id().as("partition_id"))
+          .agg(count(lit(1)).as("input_rows"),
+            sum(when(col("dedup_keep"), 0L).otherwise(1L)).as("failed_rows"))
+          .withColumn("stage", lit("dedup"))
+          .withColumn("output_rows", col("input_rows") - col("failed_rows"))
+        (marked.filter(col("dedup_keep")).drop("dedup_keep"), Some(stats))
+      case None => (slim, None)
+    }
+
     // B1: explicit url-hash partitioning of the slim rows — the unit of
     // downstream work distribution + lineage.
-    val extracted = slim.repartition(cfg.numPartitions, col("url"))
+    val extracted = deduped.repartition(cfg.numPartitions, col("url"))
 
     // P2 + B2/B3: prompt construction + batched inference in mapPartitions.
     val prompting = cfg.promptDicts.getOrElse(Seq(
@@ -154,7 +187,8 @@ object KgPipeline {
       .withColumn("stage", lit("triples"))
       .withColumn("input_rows", lit(null).cast("long"))
       .withColumn("failed_rows", lit(0L))
-    val lineage = pageStats.unionByName(tripleStats)
+    val lineage = dedupStats.foldLeft(pageStats.unionByName(tripleStats))(
+        (acc, d) => acc.unionByName(d))
       .withColumn("job_start", lit(cfg.jobStart))
       .select("stage", "partition_id", "input_rows", "output_rows",
               "failed_rows", "job_start")

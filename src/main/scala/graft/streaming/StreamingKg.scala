@@ -119,6 +119,30 @@ object StreamingKg {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(idCol)
 
+  /** Watermarked stream-stream inner join: clicks landing within
+    * `windowMinutes` AFTER an error by the same user — the streaming form
+    * of the batch `events_range_join` (graft.ops.RangeJoin). Both inputs
+    * are watermarked and the join predicate bounds event time in BOTH
+    * directions (ts >= err_ts and ts <= err_ts + window), so Spark derives
+    * state-eviction watermarks for both buffers: state size tracks the
+    * lateness horizon + join window, never the stream length. */
+  def clicksAfterErrors(clicks: DataFrame, errors: DataFrame,
+                        windowMinutes: Int = 10,
+                        watermark: String = "10 minutes"): DataFrame = {
+    val c = clicks.select(col("event_id").as("click_id"),
+        col("user_id"), col("ts"))
+      .withWatermark("ts", watermark)
+    val e = errors.select(col("event_id").as("err_id"),
+        col("user_id").as("err_user_id"), col("ts").as("err_ts"))
+      .withWatermark("err_ts", watermark)
+    c.join(e,
+        col("user_id") === col("err_user_id") &&
+          col("ts") >= col("err_ts") &&
+          col("ts") <= col("err_ts") + expr(s"INTERVAL $windowMinutes MINUTES"))
+      .select(col("err_id"), col("click_id"), col("user_id"),
+        col("ts"), col("err_ts"))
+  }
+
   /** Watermarked tumbling-window aggregation over the event stream. */
   def windowedEventCounts(events: DataFrame): DataFrame =
     events

@@ -285,6 +285,33 @@ class KgPipelineSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"))
   }
 
+  test("dedupFirst: duplicate pages drop before inference; lineage counts the drop") {
+    val pages = Pages.fixtures(spark)
+    val dup = pages.filter(col("url") === "https://fixtures.graft/sauk")
+      .withColumn("url", lit("https://fixtures.graft/sauk-copy"))
+    val both = pages.unionByName(dup)
+    val res = KgPipeline.run(spark, both, dims, client,
+      KgPipeline.Config(numPartitions = 4, dedupMinJaccard = Some(0.9)))
+    val urls = res.triples.select("url").distinct()
+      .collect().map(_.getString(0)).toSet
+    // exactly ONE of the two byte-identical pages produced triples
+    assert(urls.count(Set("https://fixtures.graft/sauk",
+      "https://fixtures.graft/sauk-copy")) === 1)
+    // the drop is visible in lineage: dedup stage, one failed row
+    val dedupStage = res.lineage.filter(col("stage") === "dedup")
+      .agg(sum("input_rows"), sum("failed_rows")).collect()(0)
+    assert(dedupStage.getLong(0) === 7) // 6 fixture pages + the copy
+    assert(dedupStage.getLong(1) === 1)
+    // without the gate, both duplicates spend inference and emit triples
+    val res2 = KgPipeline.run(spark, both, dims, client,
+      KgPipeline.Config(numPartitions = 4))
+    val urls2 = res2.triples.select("url").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(urls2.contains("https://fixtures.graft/sauk") &&
+      urls2.contains("https://fixtures.graft/sauk-copy"))
+    assert(res2.lineage.filter(col("stage") === "dedup").count() === 0)
+  }
+
   test("resume: second run is incremental and idempotent") {
     val outDir = java.nio.file.Files.createTempDirectory("kgresume").toString
     val pages = Pages.fixtures(spark)

@@ -145,6 +145,61 @@ class StreamingSpec extends SparkSpec {
     assert(ids.toSeq === Seq(1L, 2L, 3L))
   }
 
+  test("stream-stream join equals the batch range join; watermark bounds state") {
+    def t(m: String) = java.sql.Timestamp.valueOf(m)
+    val clickIn = MemoryStream[(Long, Long, java.sql.Timestamp)](spark)
+    val errIn = MemoryStream[(Long, Long, java.sql.Timestamp)](spark)
+    val q = StreamingKg.clicksAfterErrors(
+        clickIn.toDF().toDF("event_id", "user_id", "ts"),
+        errIn.toDF().toDF("event_id", "user_id", "ts"))
+      .writeStream.format("memory").queryName("ssj_out")
+      .outputMode("append").start()
+    // batch 1: one error, clicks inside/outside its window, one other user
+    errIn.addData((100L, 1L, t("2024-01-01 00:00:00")))
+    clickIn.addData((1L, 1L, t("2024-01-01 00:05:00")),
+      (2L, 1L, t("2024-01-01 00:15:00")), (3L, 2L, t("2024-01-01 00:05:00")))
+    q.processAllAvailable()
+    // batch 2: a cross-batch match against the buffered error + a new pair
+    clickIn.addData((4L, 1L, t("2024-01-01 00:08:00")))
+    errIn.addData((101L, 2L, t("2024-01-01 00:30:00")))
+    clickIn.addData((5L, 2L, t("2024-01-01 00:31:00")))
+    q.processAllAvailable()
+    // far-future events advance the watermark so old state is evictable
+    errIn.addData((999L, 9L, t("2024-01-02 12:00:00")))
+    clickIn.addData((99L, 9L, t("2024-01-02 12:00:00")))
+    q.processAllAvailable()
+    clickIn.addData((98L, 9L, t("2024-01-02 12:00:01")))
+    q.processAllAvailable()
+    val got = spark.table("ssj_out").select("err_id", "click_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // batch oracle: the SAME data through ops.RangeJoin
+    import spark.implicits._
+    import org.apache.spark.sql.functions.expr
+    val allClicks = Seq((1L, 1L, t("2024-01-01 00:05:00")),
+      (2L, 1L, t("2024-01-01 00:15:00")), (3L, 2L, t("2024-01-01 00:05:00")),
+      (4L, 1L, t("2024-01-01 00:08:00")), (5L, 2L, t("2024-01-01 00:31:00")),
+      (99L, 9L, t("2024-01-02 12:00:00")), (98L, 9L, t("2024-01-02 12:00:01")))
+      .toDF("click_id", "user_id", "ts")
+    val allErrors = Seq((100L, 1L, t("2024-01-01 00:00:00")),
+      (101L, 2L, t("2024-01-01 00:30:00")), (999L, 9L, t("2024-01-02 12:00:00")))
+      .toDF("err_id", "user_id", "w_start")
+      .withColumn("w_end", col("w_start") + expr("INTERVAL 10 MINUTES"))
+    val batch = graft.ops.RangeJoin.pointsInRanges(allClicks, allErrors,
+        key = "user_id", ptsCol = "ts", startCol = "w_start", endCol = "w_end",
+        binSeconds = 600)
+      .select("err_id", "click_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === batch)
+    assert(got.contains((100L, 4L))) // the cross-micro-batch match happened
+    // bounded state: the day-old clicks/errors were evicted by the
+    // watermark — only the recent horizon remains buffered
+    val st = q.lastProgress.stateOperators
+    assert(st.nonEmpty && st.head.numRowsTotal < 10,
+      s"state not bounded: ${st.map(_.numRowsTotal).mkString(",")}")
+    q.stop()
+  }
+
   test("stateful sessionization closes sessions on gap") {
     val input = MemoryStream[StreamingKg.Event](spark)
     val q = StreamingKg.sessionize(input.toDS(), idleTimeout = false)
