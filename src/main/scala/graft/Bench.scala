@@ -130,13 +130,15 @@ object Bench {
       case None =>
     }
 
-    // Part 1 — the scaling evidence — runs FIRST: it is the north-rule
-    // artifact and the most noise-sensitive measurement, so it gets the
-    // freshest host state (the burstable VM degrades under sustained load,
-    // BASELINE.md). The north rule compares N vs 4N EXECUTORS; the sandbox
-    // has one machine, so two proxies are measured and both reported (see
-    // measureDualScaling).
-    val scalingJson = if (sys.env.get("SPARK_GRAFT_SKIP_SCALING").isEmpty) {
+    // Part 1 — the scaling evidence — runs FIRST by default: it is the
+    // north-rule artifact and the most noise-sensitive measurement, so it
+    // gets the freshest host state (the burstable VM degrades under
+    // sustained load, BASELINE.md). SPARK_GRAFT_QUERIES_FIRST=1 flips the
+    // order — the cross-check mode used to separate host-heat effects from
+    // code changes in per-query times. The north rule compares N vs 4N
+    // EXECUTORS; the sandbox has one machine, so two proxies are measured
+    // and both reported (see measureDualScaling).
+    def runScaling(): String = if (sys.env.get("SPARK_GRAFT_SKIP_SCALING").isEmpty) {
       // 2 interleaved rounds keep the whole graded artifact under ~8 min
       // (validated 3-round run: 10.5 min, per-level spread <16%, freshest
       // round gave the best pair — scaling runs first, so round 1 is
@@ -146,8 +148,11 @@ object Bench {
         .getOrElse(measureScaling(sfDir, repl, amp, scaleN))
     } else "null"
 
-    // Part 2: per-query timings (one warmup pass, then timed).
-    val results: Map[String, Double] =
+    // Part 2: per-query timings (one warmup pass, then timed). A query that
+    // throws records -1 (an explicit error marker, never a fast-looking
+    // elapsed time) plus its exception class in `errors`.
+    val errors = scala.collection.mutable.SortedMap[String, String]()
+    def runQueries(): Map[String, Double] =
       if (sys.env.contains("SPARK_GRAFT_ONLY_SCALING")) Map()
       else {
         val spark = newSession(cpus)
@@ -156,16 +161,26 @@ object Bench {
         }
         val r = SparkEntry.queries.map { case (name, fn) =>
           val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-          name -> (System.nanoTime() - t0) / 1e9
+          val secs =
+            try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+            catch { case e: Throwable =>
+              errors(name) = e.getClass.getSimpleName; -1.0 }
+          name -> secs
         }
         spark.stop()
         r
       }
+
+    val (results, scalingJson) =
+      if (sys.env.contains("SPARK_GRAFT_QUERIES_FIRST")) {
+        val q = runQueries(); (q, runScaling())
+      } else { val s = runScaling(); (runQueries(), s) }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","scaling":$scalingJson}""")
+    val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
+    val total = results.values.filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","scaling":$scalingJson}""")
   }
 
   /** The actual measurement: one discarded warmup run (JIT, automaton
@@ -294,12 +309,19 @@ object Bench {
     val pairExec = pairEffs(b.toSeq)
     val pairThreads = pairEffs(c.toSeq)
     def arr(xs: Seq[Double]) = xs.map(x => f"$x%.3f").mkString("[", ",", "]")
-    val eff = Seq(effExec, effThreads, pairExec.max, pairThreads.max).max
+    // Headline = the better of the two modes' BEST-PAIR estimators: each
+    // round's N and 4N ran back-to-back, so their ratio cancels slow host
+    // drift — a defensible per-mode statistic, unlike a max over all four
+    // estimators, which systematically biases a noisy measurement upward.
+    // The cross-estimator max is still reported, clearly labelled as an
+    // upper bound only.
+    val eff = math.max(pairExec.max, pairThreads.max)
+    val upper = Seq(effExec, effThreads, pairExec.max, pairThreads.max).max
     Some(f"""{"mode":"dual","executor_cores":$execCores,"pages":$pagesN,"triples":$triplesB,"rounds":$rounds,""" +
       f""""secs_n":$secsN%.2f,"pages_per_sec_n":$tputN%.1f,"runs_n":${runs(a.toSeq)},""" +
       f""""executor_jvms":{"executors_4n":4,"secs_4n":$secsB%.2f,"pages_per_sec_4n":$tputB%.1f,"runs_4n":${runs(b.toSeq)},"efficiency":$effExec%.3f,"round_pair_efficiencies":${arr(pairExec)}},""" +
       f""""fresh_jvm_threads":{"cores_4n":${execCores * 4},"secs_4n":$secsC%.2f,"pages_per_sec_4n":$tputC%.1f,"runs_4n":${runs(c.toSeq)},"efficiency":$effThreads%.3f,"round_pair_efficiencies":${arr(pairThreads)}},""" +
-      f""""scaling_efficiency":$eff%.3f,""" +
-      """"methodology":"phases interleaved per round: A(1 JVM x N cores, full input), B(4 JVMs x N cores, disjoint quarter shards, fleet time = slowest), C(1 JVM x 4N cores, full input); fresh child JVM per measurement, bootstrap excluded from timed region; efficiency = (tput_4N/tput_N)/4 via best-level and adjacent-pair estimators; headline = max across the two single-machine proxies, both of which UNDER-estimate multi-node fleet scaling (4N real executors add 4x memory channels; this box shares one — see BASELINE.md)"}""")
+      f""""scaling_efficiency":$eff%.3f,"scaling_efficiency_upper_bound":$upper%.3f,""" +
+      """"methodology":"phases interleaved per round: A(1 JVM x N cores, full input), B(4 JVMs x N cores, disjoint quarter shards, fleet time = slowest), C(1 JVM x 4N cores, full input); fresh child JVM per measurement, bootstrap excluded from timed region; efficiency = (tput_4N/tput_N)/4; headline = best adjacent-pair estimator per mode, max over the two modes (adjacent pairs ran back-to-back so the ratio cancels host drift); the cross-estimator max is reported separately as an upper bound; both single-machine proxies UNDER-estimate multi-node fleet scaling (4N real executors add 4x memory channels; this box shares one — see BASELINE.md)"}""")
   }
 }

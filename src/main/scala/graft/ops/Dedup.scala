@@ -82,16 +82,29 @@ object Dedup {
 
   /** nBits-wide SimHash: bit i is the majority over tokens of (i-th hex
     * digit of md5(token) >= 8). Pure column expressions, fully codegen'd;
-    * one shuffle on doc_id with map-side partial sums. */
+    * one shuffle on doc_id with map-side partial sums.
+    *
+    * Hot-path formulation: "hex digit >= 8" is exactly "high bit of the
+    * nibble set", so instead of nBits substring + 8-way IN-list string
+    * compares per token (measured 2.5-2.7 s at sf0.1, reproducibly — not
+    * host noise), each 8-hex-digit word parses ONCE via conv() into a long
+    * and every bit test is a shift+and. Bit-identical output to the
+    * substring form (the DuckDB oracle still computes it that way). */
   def simhashFp(docs: DataFrame, nBits: Int): DataFrame = {
     require(nBits >= 1 && nBits <= 32, "md5 supplies 32 hex digits = 32 bits")
     val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .withColumn("h", md5(col("tok")))
+    val words = (nBits + 7) / 8
+    val tokV = (0 until words).foldLeft(tok)((d, w) =>
+      d.withColumn(s"v$w",
+        conv(substring(col("h"), w * 8 + 1, 8), 16, 10).cast("long")))
     val bitSums = (0 until nBits).map { i =>
-      sum(when(substring(col("h"), i + 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"), 1)
+      val w = i / 8
+      val shift = 4 * (7 - (i % 8)) + 3 // high bit of the i-th nibble
+      sum(when(shiftright(col(s"v$w"), shift).bitwiseAND(lit(1L)) === 1L, 1)
         .otherwise(-1)).as(s"s$i")
     }
-    val summed = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val summed = tokV.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
     val fp = (0 until nBits).map(i =>
       when(col(s"s$i") > 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
     summed.select(col("doc_id"), fp.as("simhash"))
