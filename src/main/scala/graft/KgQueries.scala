@@ -72,24 +72,27 @@ object KgQueries {
       (dims, Hydrator.prepare(dims).cached(), Linker.aliasDim(dims).cache())
     })
 
-  /** Per-session fixture-pipeline RDF result, shared by the three RDF gate
-    * queries (full set, TTL documents, hand-derived slice) — one pipeline
-    * materialization, three sinks, exactly the reuse a production job gets
+  /** Per-session fixture-pipeline result, shared by every gate query that
+    * reads the fixture pipeline's output (RDF full set, TTL documents,
+    * hand-derived slice, geocode, strat-GPS) — one pipeline
+    * materialization, many sinks, exactly the reuse a production job gets
     * from its persisted stage boundary. */
-  private val rdfCache = new java.util.concurrent.ConcurrentHashMap[
-    SparkSession, org.apache.spark.sql.Dataset[Model.RdfTriple]]()
-  private def fixtureRdf(s: SparkSession): org.apache.spark.sql.Dataset[Model.RdfTriple] =
-    rdfCache.computeIfAbsent(s, s => {
+  private val resultCache = new java.util.concurrent.ConcurrentHashMap[
+    SparkSession, KgPipeline.Result]()
+  private def fixtureResult(s: SparkSession): KgPipeline.Result =
+    resultCache.computeIfAbsent(s, s => {
       val (dims, prepared, alias) = cachedDims(s)
       val client = Inference.defaultClient(
         Dims.pinnedStrat.map(_.strat_name).toArray,
         Dims.gazetteer.map(_.name).toArray,
         Dims.pinnedMinerals.map(_.mineral).toArray)
-      KgPipeline.run(s, Pages.fixtures(s), dims, client,
+      val res = KgPipeline.run(s, Pages.fixtures(s), dims, client,
         KgPipeline.Config(numPartitions = 4, emitRdf = true,
           prebuiltAlias = Some(alias), preparedDims = Some(prepared)))
-        .rdf.get.persist()
+      KgPipeline.Result(res.triples.persist(), res.lineage,
+        res.rdf.map(_.persist()))
     })
+  private def fixtureRdf(s: SparkSession) = fixtureResult(s).rdf.get
 
   val queries: Map[String, Q] = Map(
     // P11 + §7.2-1: page synthesis + the byte-identical extract invariant.
@@ -188,6 +191,50 @@ object KgQueries {
         java.sql.Timestamp.valueOf("2024-06-01 00:00:00"))
       hydrated.select(col("obj_name").as("surface"), col("obj_final"),
         col("lith"), col("lith_id"), col("lith_type"), col("lith_class"))
+    },
+
+    // S6: geocode lookup — the distinct subject locations of the fixture
+    // pipeline with their gazetteer coordinates (null-keeping on miss, the
+    // reference's schema.py:142-144 behavior). Oracle VALUES are
+    // hand-derived from SaukRawOutput's location strings x the pinned
+    // gazetteer rows — never engine output.
+    "kg_geocode" -> { (s, dir) =>
+      fixtureResult(s).triples
+        .select("subj_name", "subj_lat", "subj_lon").distinct()
+    },
+
+    // S7: GPS from strat units — centroid coordinates joined by the
+    // hydrated unit's long name (Hydrator.stratGps). Oracle VALUES
+    // hand-derived: the ten Sauk strat long names x the pinned strat-GPS
+    // dim (hits: Shakopee + Smithville only).
+    "kg_strat_gps" -> { (s, dir) =>
+      val (dims, _, _) = cachedDims(s)
+      Hydrator.stratGps(fixtureResult(s).triples, dims)
+        .filter(col("strat_name_long").isNotNull)
+        .select("strat_name_long", "clat", "clng").distinct()
+    },
+
+    // P7 + P8: formula -> element extraction and the USGS-exclusive
+    // fallback, through the REAL align -> canonicalize -> hydrate chain.
+    // fluorspar is absent from the Macrostrat mineral dim and must pick up
+    // its Mindat formula (schema.py:358-372 ordering); elements in the
+    // oracle were hand-derived from the formulas (schema.py:301-337 scan
+    // semantics), not from the engine.
+    "kg_elements" -> { (s, dir) =>
+      import s.implicits._
+      val (_, prepared, alias) = cachedDims(s)
+      val minerals = Seq("gold", "gallium", "Agrinierite", "fluorspar")
+        .toDF("m_name")
+        .select(
+          lit("https://q/minerals").as("url"), lit("h").as("hashed_text"),
+          lit("m").as("model_id"), lit("Minnesota").as("subj_name"),
+          lit("contains").as("predicate"),
+          col("m_name").as("obj_name"), lit(Model.ObjKind.Mineral).as("obj_kind"))
+      val canonical = Canonicalizer(Linker.align(minerals, alias))
+      Hydrator.hydratePrepared(canonical, prepared,
+          java.sql.Timestamp.valueOf("2024-06-01 00:00:00"))
+        .select(col("obj_name").as("name"), col("mineral"), col("formula"),
+          col("formula_source"), col("elements"))
     },
 
     // G2/P6: entity-name formatting to URI-safe node ids — via the native
@@ -397,6 +444,33 @@ object KgQueries {
           SELECT surface, obj_final, lith, lith_id, lith_type, lith_class
           FROM canon JOIN lithdim ON norm = lith"""
     },
+    "kg_geocode" ->
+      """SELECT * FROM (VALUES
+           ('Minnesota', 46.4419, -93.3655),
+           ('northern Arkansas', 36.2, -92.5),
+           ('Reelfoot rift of southeastern Missouri and northeastern Missouri', NULL::DOUBLE, NULL::DOUBLE),
+           ('southern and eastern flanks of the Ozark dome', NULL::DOUBLE, NULL::DOUBLE)
+         ) t(subj_name, subj_lat, subj_lon)""",
+    "kg_strat_gps" ->
+      """SELECT * FROM (VALUES
+           ('Shakopee Formation', 44.8, -93.5),
+           ('Smithville Formation', 36.05, -91.2),
+           ('Roubidoux Formation', NULL::DOUBLE, NULL::DOUBLE),
+           ('Jefferson City Dolomite', NULL::DOUBLE, NULL::DOUBLE),
+           ('Cotter Dolomite', NULL::DOUBLE, NULL::DOUBLE),
+           ('Powell Dolomite', NULL::DOUBLE, NULL::DOUBLE),
+           ('Black Rock Formation', NULL::DOUBLE, NULL::DOUBLE),
+           ('Everton Formation', NULL::DOUBLE, NULL::DOUBLE),
+           ('Jasper Member', NULL::DOUBLE, NULL::DOUBLE),
+           ('Sauk Sequence', NULL::DOUBLE, NULL::DOUBLE)
+         ) t(strat_name_long, clat, clng)""",
+    "kg_elements" ->
+      """SELECT * FROM (VALUES
+           ('gold', 'gold', 'Au', 'Macrostrat', ['Au']),
+           ('gallium', 'gallium', 'Ga', 'Macrostrat', ['Ga']),
+           ('Agrinierite', 'Agrinierite', 'K2(Ca,Sr)[(UO2)3O3(OH)2]2·5H2O', 'Macrostrat', ['Ca', 'H', 'K', 'O', 'Sr', 'U']),
+           ('fluorspar', NULL::VARCHAR, 'CaF2', 'Mindat', ['Ca', 'F'])
+         ) t(name, mineral, formula, formula_source, elements)""",
     "kg_entity_uri" ->
       s"""SELECT DISTINCT term,
           'https://macrostrat.org/lexicon/' || upper(term[1]) || term[2:] AS uri

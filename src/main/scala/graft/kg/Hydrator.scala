@@ -201,4 +201,15 @@ object Hydrator {
 
     hydrated.withColumn("provenance", provenance)
   }
+
+  /** S7: GPS for stratigraphic units — centroid coordinates for the
+    * hydrated unit, keyed by its long name (reference:
+    * text2graph/geolocation/macrostrat.py — per-name REST lookup of unit
+    * centroid lat/lng; Spark-side it is one more broadcast left join
+    * against the strat-GPS snapshot dim, null-keeping on miss). */
+  def stratGps(hydrated: DataFrame, dims: Dims.Snapshot): DataFrame =
+    hydrated.join(
+      broadcast(dims.stratGpsDim.withColumnRenamed("strat_name_long", "gps_name")),
+      col("strat_name_long") === col("gps_name"), "left")
+      .drop("gps_name")
 }
