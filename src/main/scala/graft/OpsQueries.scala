@@ -19,10 +19,11 @@ object OpsQueries {
       .withColumn("embedding", col("embedding").cast("array<double>"))
 
   val queries: Map[String, Q] = Map(
+    // Calls the LIBRARY operator (minDocs = 1 so the oracle row set is
+    // non-vacuous on the dup-free synthetic corpus; the production default
+    // minDocs = 2 is the same plan plus the pushed count filter).
     "dedup_exact" -> { (s, dir) =>
-      docs(s, dir).select(md5(col("text")).as("text_hash"), col("doc_id"))
-        .groupBy("text_hash")
-        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc_id"))
+      Dedup.exactGroups(docs(s, dir), minDocs = 1)
     },
 
     "dedup_minhash_lsh" -> { (s, dir) =>

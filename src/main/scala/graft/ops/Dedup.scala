@@ -48,12 +48,15 @@ object Dedup {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** Exact duplicate groups: (text_hash, n_docs, min_doc_id). */
-  def exactGroups(docs: DataFrame): DataFrame =
+  /** Exact duplicate groups: (text_hash, n_docs, min_doc_id). `minDocs = 1`
+    * keeps singleton groups too (the gate query uses it so the oracle has a
+    * non-vacuous row set on a dup-free corpus); the dedup default reports
+    * only real duplicate groups. */
+  def exactGroups(docs: DataFrame, minDocs: Long = 2): DataFrame =
     docs.select(md5(col("text")).as("text_hash"), col("doc_id"))
       .groupBy("text_hash")
       .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc_id"))
-      .filter(col("n_docs") > 1)
+      .filter(col("n_docs") >= minDocs)
 
   /** Per-doc MinHash signature columns h0..h{k-1} over the token set. */
   def minhashSignatures(docs: DataFrame): DataFrame = {

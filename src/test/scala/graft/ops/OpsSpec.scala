@@ -224,6 +224,16 @@ class SimilaritySpec extends SparkSpec {
     assert(again === assign)
   }
 
+  test("kmeans is partitioning-invariant: same assignment at any parallelism") {
+    val base = Similarity.kmeans(embs, k = 4, iters = 2).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val repart = Similarity.kmeans(embs.repartition(7), k = 4, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // round-6 centroid pinning makes the Lloyd rounds reproducible under
+    // any partial-aggregation order — the cross-engine (DuckDB) contract
+    assert(repart === base)
+  }
+
   test("ivf over trained codebook equals brute force when every cell is probed") {
     val brute = Similarity.bruteTopK(embs, 0, 10).collect()
       .map(r => (r.getLong(0), r.getDouble(1)))
@@ -356,6 +366,25 @@ class RangeJoinSpec extends SparkSpec {
       if pu == ru && !t.before(s) && !t.after(e)
     } yield (pid, rid)).toSet
     assert(got === want)
+  }
+
+  test("fan-out guard: a bin width far below the range width fails fast, not OOM") {
+    import spark.implicits._
+    def t(m: String) = java.sql.Timestamp.valueOf(m)
+    val pts = Seq((1L, t("2024-01-01 00:00:30"), 7L)).toDF("user_id", "ts", "pt_id")
+    val rng = Seq((1L, 9L, t("2024-01-01 00:00:00"), t("2024-01-02 00:00:00")))
+      .toDF("user_id", "r_id", "w_start", "w_end") // 86400 one-second bins
+    val e = intercept[Exception] {
+      RangeJoin.pointsInRanges(pts, rng, "user_id", "ts", "w_start", "w_end",
+        binSeconds = 1, maxBinsPerRange = 1000).count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("range join fan-out")), e.getMessage)
+    // and a sane configuration on the same data still answers
+    val ok = RangeJoin.pointsInRanges(pts, rng, "user_id", "ts", "w_start", "w_end",
+      binSeconds = 86400).collect()
+    assert(ok.map(_.getAs[Long]("pt_id")).toSeq === Seq(7L))
   }
 
   test("plan: equi-join on (key, bin), no nested-loop/cartesian") {
