@@ -126,9 +126,14 @@ object StreamingKg {
     * directions (ts >= err_ts and ts <= err_ts + window), so Spark derives
     * state-eviction watermarks for both buffers: state size tracks the
     * lateness horizon + join window, never the stream length. */
+  /** @param joinType "inner" (matches only) or "left_outer": a click with
+    *        no error in its window emits once with a null err_id AFTER the
+    *        watermark proves no matching error can still arrive — the
+    *        streaming form of the batch left join's null-keeping. */
   def clicksAfterErrors(clicks: DataFrame, errors: DataFrame,
                         windowMinutes: Int = 10,
-                        watermark: String = "10 minutes"): DataFrame = {
+                        watermark: String = "10 minutes",
+                        joinType: String = "inner"): DataFrame = {
     val c = clicks.select(col("event_id").as("click_id"),
         col("user_id"), col("ts"))
       .withWatermark("ts", watermark)
@@ -138,7 +143,8 @@ object StreamingKg {
     c.join(e,
         col("user_id") === col("err_user_id") &&
           col("ts") >= col("err_ts") &&
-          col("ts") <= col("err_ts") + expr(s"INTERVAL $windowMinutes MINUTES"))
+          col("ts") <= col("err_ts") + expr(s"INTERVAL $windowMinutes MINUTES"),
+        joinType)
       .select(col("err_id"), col("click_id"), col("user_id"),
         col("ts"), col("err_ts"))
   }

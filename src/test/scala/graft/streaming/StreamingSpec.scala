@@ -200,6 +200,37 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("left-outer stream-stream join: unmatched clicks emit nulls after the watermark") {
+    def t(m: String) = java.sql.Timestamp.valueOf(m)
+    val clickIn = MemoryStream[(Long, Long, java.sql.Timestamp)](spark)
+    val errIn = MemoryStream[(Long, Long, java.sql.Timestamp)](spark)
+    val q = StreamingKg.clicksAfterErrors(
+        clickIn.toDF().toDF("event_id", "user_id", "ts"),
+        errIn.toDF().toDF("event_id", "user_id", "ts"),
+        joinType = "left_outer")
+      .writeStream.format("memory").queryName("ssj_outer_out")
+      .outputMode("append").start()
+    // click 1 matches; click 2 has no error in its user's window
+    errIn.addData((100L, 1L, t("2024-01-01 00:00:00")))
+    clickIn.addData((1L, 1L, t("2024-01-01 00:05:00")),
+      (2L, 2L, t("2024-01-01 00:05:00")))
+    q.processAllAvailable()
+    // advance the watermark well past click 2's match horizon, then let a
+    // further batch run the state-eviction pass that emits the null row
+    clickIn.addData((50L, 5L, t("2024-01-01 06:00:00")))
+    errIn.addData((500L, 5L, t("2024-01-01 06:00:00")))
+    q.processAllAvailable()
+    clickIn.addData((51L, 5L, t("2024-01-01 06:00:01")))
+    q.processAllAvailable()
+    val rows = spark.table("ssj_outer_out")
+      .select("err_id", "click_id").collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0)) -> r.getLong(1)).toSet
+    q.stop()
+    assert(rows.contains((100L, 1L)))  // matched click joined normally
+    assert(rows.contains((-1L, 2L)),   // unmatched click emitted with null
+      s"no null-padded row for click 2 in $rows")
+  }
+
   test("stateful sessionization closes sessions on gap") {
     val input = MemoryStream[StreamingKg.Event](spark)
     val q = StreamingKg.sessionize(input.toDS(), idleTimeout = false)
