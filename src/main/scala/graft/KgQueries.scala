@@ -314,20 +314,26 @@ object KgQueries {
     },
 
     // Two-sided RDF oracle (the pinned golden set is engine-generated; this
-    // one is NOT): the G2/G3/G4 object-node + type + label rows for all ten
-    // Sauk-fixture triplets, hand-derived from reference semantics alone —
+    // one is NOT): the object-node + type + label rows for all ten
+    // Sauk-fixture strat triplets AND the gold-fixture mineral triplet,
+    // hand-derived from reference semantics alone —
     // object_node_stratigraphy (stratigraphy.py:14-26: MSL + entity_name of
     // strat_name_long-else-strat_name), stratigraphic_type (:89-114:
-    // RANK_LOOKUP[rank]) and stratigraphic_label (:117-131: long name, @en)
-    // applied to the pinned Macrostrat dim rows. The oracle VALUES below
-    // were written by hand from those functions; the engine never produced
-    // them.
+    // RANK_LOOKUP[rank]), stratigraphic_label (:117-131: long name, @en),
+    // object_node_mineral + mineral_type (mineral.py:8-35: XDD +
+    // entity_name(mineral); Rock_Material + GSRM class typing;
+    // "name, type, formula"@en label) applied to the pinned Macrostrat dim
+    // rows. The oracle VALUES below were written by hand from those
+    // functions; the engine never produced them.
     "kg_rdf_golden_slice" -> { (s, dir) =>
-      val objectNodes = SaukObjectNodes.map(Rdf.MSL + _)
+      val stratNodes = SaukObjectNodes.map(Rdf.MSL + _)
+      val preds = col("pred").isin(Rdf.RDF_ + "type", Rdf.RDFS_ + "label")
       fixtureRdf(s).toDF()
-        .filter(col("url") === "https://fixtures.graft/sauk" &&
-          col("pred").isin(Rdf.RDF_ + "type", Rdf.RDFS_ + "label") &&
-          col("subj").isin(objectNodes: _*))
+        .filter(preds && (
+          (col("url") === "https://fixtures.graft/sauk" &&
+            col("subj").isin(stratNodes: _*)) ||
+          (col("url") === "https://fixtures.graft/gold" &&
+            col("subj") === Rdf.XDD + "Gold")))
         .select("subj", "pred", "obj", "obj_is_literal", "lang", "datatype")
     }
   )
@@ -540,7 +546,15 @@ object KgQueries {
       val rows = derived.flatMap { case (node, rankCls, label) => Seq(
         s"('${kg.Rdf.MSL}$node', '${kg.Rdf.RDF_}type', '${kg.Rdf.GSGU}$rankCls', false, '', '')",
         s"('${kg.Rdf.MSL}$node', '${kg.Rdf.RDFS_}label', '$label', true, 'en', '')")
-      }
+      } ++ Seq(
+        // mineral family, by hand from mineral.py:8-35 + the pinned gold
+        // dim row (mineral=gold, type=native element, formula=Au):
+        //   node  = XDD + entity_name("gold") = XDD + "Gold"
+        //   types = gsog:Rock_Material and gsrm:<entity_name(mineral)>
+        //   label = "gold, native element, Au"@en
+        s"('${kg.Rdf.XDD}Gold', '${kg.Rdf.RDF_}type', '${kg.Rdf.GSOG}Rock_Material', false, '', '')",
+        s"('${kg.Rdf.XDD}Gold', '${kg.Rdf.RDF_}type', '${kg.Rdf.GSRM}Gold', false, '', '')",
+        s"('${kg.Rdf.XDD}Gold', '${kg.Rdf.RDFS_}label', 'gold, native element, Au', true, 'en', '')")
       s"SELECT * FROM (VALUES ${rows.mkString(", ")}) t(subj, pred, obj, obj_is_literal, lang, datatype)"
     }
   )
