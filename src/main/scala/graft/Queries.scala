@@ -73,8 +73,13 @@ object Queries {
     // row_number window — SURVEY J3/J5 first-hit dedup primitive.
     "q_window_firsthit" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
+      // ordering must be TOTAL within the partition — the synthetic corpus
+      // has duplicate (orderkey, shipdate, linenumber) keys at sf0.1, and a
+      // non-total order makes "first hit" engine-dependent (caught by the
+      // round-3 cross-scale verify)
       val w = Window.partitionBy(col("l_orderkey"))
-        .orderBy(col("l_shipdate"), col("l_linenumber"))
+        .orderBy(col("l_shipdate"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))
       Tables.lineitem(s, dir)
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
@@ -186,7 +191,9 @@ object Queries {
       """SELECT l_returnflag, count(*) AS n_first,
          round(sum(l_quantity), 2) AS qty_first
          FROM (SELECT *, row_number() OVER
-                 (PARTITION BY l_orderkey ORDER BY l_shipdate, l_linenumber) AS rn
+                 (PARTITION BY l_orderkey
+                  ORDER BY l_shipdate, l_linenumber, l_partkey, l_suppkey,
+                           l_extendedprice) AS rn
                FROM lineitem)
          WHERE rn = 1 GROUP BY l_returnflag""",
     "q_groupcount" ->
