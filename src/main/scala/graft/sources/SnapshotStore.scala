@@ -137,6 +137,50 @@ object SnapshotStore {
     throw new IllegalStateException(s"snapshot commit lost $maxRetries races in $dir")
   }
 
+  /** Retention sweep (the expire-snapshots + orphan-file maintenance of
+    * the Iceberg lifecycle): drop all snapshot manifests older than the
+    * newest `keepLast`, then delete every staged data file that no RETAINED
+    * snapshot references — this reclaims both expired-version data (e.g.
+    * pre-compaction files) and orphaned staging from crashed or race-losing
+    * writers. Retained versions stay fully readable; time travel shortens
+    * to the retention window.
+    *
+    * `graceMs`: only files older than this are swept — in a live store a
+    * concurrent writer's staged-but-not-yet-published files are legitimately
+    * unreferenced, so production sweeps should pass a grace period safely
+    * above the longest commit (the Iceberg orphan-cleanup convention).
+    * Returns (manifests deleted, data files deleted). */
+  def expireSnapshots(spark: SparkSession, dir: String, keepLast: Int = 2,
+                      graceMs: Long = 0L): (Int, Int) = {
+    require(keepLast >= 1, "must retain at least the head snapshot")
+    val f = fs(spark, dir)
+    val head = currentVersion(spark, dir)
+    if (head == 0) return (0, 0)
+    val oldestKept = math.max(1, head - keepLast + 1)
+    val referenced = (oldestKept to head)
+      .flatMap(v => readSnapshot(spark, dir, v).tables.values.flatten).toSet
+    var mDel = 0
+    (1 until oldestKept).foreach { v =>
+      val p = snapshotPath(dir, v)
+      if (f.exists(p) && f.delete(p, false)) mDel += 1
+    }
+    var dDel = 0
+    val stage = new Path(s"$dir/stage")
+    if (f.exists(stage)) {
+      val cutoff = System.currentTimeMillis() - graceMs
+      val it = f.listFiles(stage, true)
+      val doomed = scala.collection.mutable.ArrayBuffer.empty[Path]
+      while (it.hasNext) {
+        val s = it.next()
+        if (s.isFile && !referenced.contains(s.getPath.toString) &&
+            s.getModificationTime < cutoff)
+          doomed += s.getPath
+      }
+      doomed.foreach(p => if (f.delete(p, false)) dDel += 1)
+    }
+    (mDel, dDel)
+  }
+
   // ---- minimal deterministic JSON (no extra deps) -------------------------
 
   private def q(s: String): String =

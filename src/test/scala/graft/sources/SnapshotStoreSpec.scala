@@ -129,6 +129,40 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(rows === Set((0L, "base"), (1L, "w1"), (2L, "w2"), (3L, "w3"), (4L, "w4")))
   }
 
+  test("retention sweep: expired manifests + unreferenced data go; retained versions intact") {
+    val dir = tmp("snapexpire")
+    SnapshotStore.commit(spark, dir, Map("t" -> Seq((1L, "a")).toDF("id", "v")))
+    SnapshotStore.commit(spark, dir, Map("t" -> Seq((2L, "b")).toDF("id", "v")))
+    // v3 is a compaction: v1/v2's data files become unreferenced by v3
+    SnapshotStore.commitReplace(spark, dir,
+      Map("t" -> Seq((1L, "a"), (2L, "b")).toDF("id", "v")))
+    // plus an orphan from a "crashed writer": staged, never published
+    Seq((99L, "crash")).toDF("id", "v")
+      .write.mode("overwrite").parquet(s"$dir/stage/v9-dead/t")
+
+    val (mDel, dDel) = SnapshotStore.expireSnapshots(spark, dir, keepLast = 1)
+    assert(mDel === 2) // v1, v2 manifests expired
+    assert(dDel >= 3)  // v1 data + v2 data + the orphan (and their _SUCCESS etc.)
+    // head unchanged and fully readable after the sweep
+    assert(SnapshotStore.currentVersion(spark, dir) === 3)
+    val rows = SnapshotStore.read(spark, dir, "t").get
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rows === Set((1L, "a"), (2L, "b")))
+    // expired versions are gone (time travel shortened to the window)
+    intercept[Exception] { SnapshotStore.readSnapshot(spark, dir, 1) }
+    // every file the head references still exists
+    SnapshotStore.readSnapshot(spark, dir, 3).tables.values.flatten.foreach { p =>
+      assert(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(new java.net.URI(p).getPath)), s"swept live file $p")
+    }
+    // a grace period protects fresh (possibly in-flight) staging
+    Seq((50L, "inflight")).toDF("id", "v")
+      .write.mode("overwrite").parquet(s"$dir/stage/v9-inflight/t")
+    val (_, dDel2) = SnapshotStore.expireSnapshots(spark, dir, keepLast = 1,
+      graceMs = 60 * 60 * 1000)
+    assert(dDel2 === 0)
+  }
+
   test("replace-mode commit carries prior meta forward; new keys win") {
     val dir = tmp("snapmeta")
     SnapshotStore.commit(spark, dir, Map("t" -> Seq((1L, "a")).toDF("id", "v")),
