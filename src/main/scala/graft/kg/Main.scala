@@ -8,7 +8,12 @@ import org.apache.spark.sql.functions._
   *
   *   spark-submit --class graft.kg.Main <jar> \
   *     --pages <parquet dir | "synthetic:<sfDir>"> --out <dir> \
-  *     [--partitions N] [--salted] [--no-canonicalize] [--snapshot]
+  *     [--partitions N] [--salted] [--no-canonicalize] [--snapshot] \
+  *     [--dedup <minJaccard>] [--open-vocabulary]
+  *
+  * Maintenance modes (snapshot stores; run instead of a pipeline pass):
+  *     --out <dir> --compact            global CC canonicalization rewrite
+  *     --out <dir> --expire <keepLast>  retention sweep + orphan cleanup
   *
   * Reruns with the same --out resume incrementally (left-anti join against
   * committed urls). Two sink protocols:
@@ -17,6 +22,10 @@ import org.apache.spark.sql.functions._
   *  - --snapshot: triples/lineage/done publish in ONE atomic snapshot via
   *    graft.sources.SnapshotStore (Iceberg commit semantics — snapshot
   *    isolation, optimistic concurrency, time travel).
+  * --dedup runs the corpus duplicate gate before inference (LSH →
+  * verified Jaccard → CC resolution; drops counted in lineage);
+  * --open-vocabulary skips the driver small-graph probes (unbounded
+  * entity/dedup spaces go straight to distributed CC).
   */
 object Main {
 
@@ -37,6 +46,21 @@ object Main {
     val spark = (if (sys.props.contains("spark.master")) builder
                  else builder.master("local[*]")).getOrCreate()
 
+    // maintenance modes: operate on an existing snapshot store and exit
+    if (opts.contains("compact")) {
+      val v = graft.streaming.StreamingKg.compactCanonicalize(spark, outDir)
+      println(v.map(v => s"[graft] compacted to snapshot v$v at $outDir")
+        .getOrElse(s"[graft] nothing to compact at $outDir"))
+      spark.stop(); return
+    }
+    if (opts.contains("expire")) {
+      val (m, d) = graft.sources.SnapshotStore.expireSnapshots(
+        spark, outDir, keepLast = opts("expire").toInt,
+        graceMs = opts.getOrElse("grace-ms", "3600000").toLong)
+      println(s"[graft] expired $m manifests, reclaimed $d data files at $outDir")
+      spark.stop(); return
+    }
+
     val pages =
       if (pagesSrc.startsWith("synthetic:"))
         Pages.all(spark, pagesSrc.stripPrefix("synthetic:"))
@@ -51,7 +75,9 @@ object Main {
     val cfg = KgPipeline.Config(
       numPartitions = numPartitions,
       saltedAlign = opts.contains("salted"),
-      canonicalize = !opts.contains("no-canonicalize"))
+      canonicalize = !opts.contains("no-canonicalize"),
+      canonLocalProbe = !opts.contains("open-vocabulary"),
+      dedupMinJaccard = opts.get("dedup").map(_.toDouble))
     if (opts.contains("snapshot")) {
       val v = KgPipeline.runAndCommitSnapshot(spark, pages, dims, client, outDir, cfg)
       println(s"[graft] committed snapshot v$v at $outDir")
@@ -69,6 +95,11 @@ object Main {
       case "--salted" :: rest => parse(rest, acc + ("salted" -> "1"))
       case "--no-canonicalize" :: rest => parse(rest, acc + ("no-canonicalize" -> "1"))
       case "--snapshot" :: rest => parse(rest, acc + ("snapshot" -> "1"))
+      case "--dedup" :: v :: rest => parse(rest, acc + ("dedup" -> v))
+      case "--open-vocabulary" :: rest => parse(rest, acc + ("open-vocabulary" -> "1"))
+      case "--compact" :: rest => parse(rest, acc + ("compact" -> "1"))
+      case "--expire" :: v :: rest => parse(rest, acc + ("expire" -> v))
+      case "--grace-ms" :: v :: rest => parse(rest, acc + ("grace-ms" -> v))
       case other :: _ => sys.error(s"unknown arg: $other")
     }
 }
