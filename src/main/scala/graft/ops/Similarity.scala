@@ -34,6 +34,14 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Single-pass native cosine similarity (graft.plans.Expressions
+    * .CosineSimExpr): one loop accumulating dot + both norms instead of
+    * three array traversals. Bit-identical to
+    * dot(a,b)/(norm(a)*norm(b)) — parity-tested in ExpressionsSpec — so
+    * oracles and the cached-norm form interchange freely. */
+  def cos(a: Column, b: Column): Column =
+    graft.plans.Expressions.cosine_sim(a, b)
+
   /** Cosine top-k of `embeddings` vs the row with vec_id = queryId.
     * Output: (vec_id, cos_sim rounded) ordered desc. */
   def bruteTopK(embeddings: DataFrame, queryId: Long, k: Int): DataFrame = {
@@ -42,8 +50,7 @@ object Similarity {
     embeddings.filter(col("vec_id") =!= queryId)
       .crossJoin(broadcast(q))
       .select(col("vec_id"),
-        round(dot(col("embedding"), col("q")) /
-          (norm(col("embedding")) * norm(col("q"))), 4).as("cos_sim"))
+        round(cos(col("embedding"), col("q")), 4).as("cos_sim"))
       .orderBy(desc("cos_sim"), col("vec_id"))
       .limit(k)
   }
@@ -75,8 +82,7 @@ object Similarity {
     val probed = centroids(embeddings)
       .crossJoin(broadcast(q))
       .select(col("label"),
-        round(dot(col("centroid"), col("q")) /
-          (norm(col("centroid")) * norm(col("q"))), 4).as("c_sim"))
+        round(cos(col("centroid"), col("q")), 4).as("c_sim"))
       .orderBy(desc("c_sim"), col("label"))
       .limit(nprobe)
       .select("label")
@@ -84,8 +90,7 @@ object Similarity {
       .join(broadcast(probed), "label") // cluster pruning: only probed cells scanned
       .crossJoin(broadcast(q))
       .select(col("vec_id"), col("label"),
-        round(dot(col("embedding"), col("q")) /
-          (norm(col("embedding")) * norm(col("q"))), 4).as("cos_sim"))
+        round(cos(col("embedding"), col("q")), 4).as("cos_sim"))
       .orderBy(desc("cos_sim"), col("vec_id"))
       .limit(k)
   }
@@ -167,8 +172,7 @@ object Similarity {
       .join(broadcast(probed), "cluster") // cluster pruning: only probed cells scanned
       .crossJoin(broadcast(q))
       .select(col("vec_id"), col("cluster"),
-        round(dot(col("embedding"), col("q")) /
-          (norm(col("embedding")) * norm(col("q"))), 4).as("cos_sim"))
+        round(cos(col("embedding"), col("q")), 4).as("cos_sim"))
       .orderBy(desc("cos_sim"), col("vec_id"))
       .limit(k)
   }

@@ -108,12 +108,77 @@ object Expressions {
       DotProductExpr(org.apache.spark.sql.GraftColumnBridge.expression(a),
         org.apache.spark.sql.GraftColumnBridge.expression(b)))
 
+  /** Static cosine kernel: ONE loop accumulating dot, |a|² and |b|² —
+    * the composed form `dot(a,b)/(sqrt(dot(a,a))*sqrt(dot(b,b)))` walks
+    * each array three times. Each accumulator folds left-to-right exactly
+    * like its dotKernel counterpart, so the result is bit-identical to the
+    * composed form (parity-tested) and to the DuckDB oracle arithmetic. */
+  def cosineKernel(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var i = 0
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = a.getDouble(i)
+      val y = b.getDouble(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
+  }
+
+  /** Native codegen'd cosine similarity over two array<double> columns —
+    * replaces three array traversals (dot + two norms) with one in the
+    * ANN verification/top-k hot paths. */
+  case class CosineSimExpr(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "cosine_sim"
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      val ok = Seq(left, right).forall(_.dataType match {
+        case ArrayType(DoubleType, _) => true
+        case _ => false
+      })
+      if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"cosine_sim expects (array<double>, array<double>), got (${left.dataType}, ${right.dataType})")
+    }
+
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      cosineKernel(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        s"""
+           |java.lang.Double ${ev.value}_r = graft.plans.Expressions.cosineKernel($a, $b);
+           |if (${ev.value}_r == null) { ${ev.isNull} = true; }
+           |else { ${ev.value} = ${ev.value}_r.doubleValue(); }
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): CosineSimExpr =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** Column-API form of the native cosine similarity. */
+  def cosine_sim(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      CosineSimExpr(org.apache.spark.sql.GraftColumnBridge.expression(a),
+        org.apache.spark.sql.GraftColumnBridge.expression(b)))
+
   /** Register the custom functions for SQL use on an existing session. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "entity_name", exprs => EntityNameExpr(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dot_product", exprs => DotProductExpr(exprs.head, exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_sim", exprs => CosineSimExpr(exprs.head, exprs(1)), "scala_udf")
   }
 }
 
@@ -130,5 +195,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[Expressions.DotProductExpr].getName, "dot_product"),
       (exprs: Seq[Expression]) => Expressions.DotProductExpr(exprs.head, exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[Expressions.CosineSimExpr].getName, "cosine_sim"),
+      (exprs: Seq[Expression]) => Expressions.CosineSimExpr(exprs.head, exprs(1))))
   }
 }

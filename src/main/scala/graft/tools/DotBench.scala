@@ -31,6 +31,11 @@ object DotBench {
     }
     time("hof   ")(graft.ops.Similarity.dotHof(col("ea"), col("eb")))
     time("native")(graft.plans.Expressions.dot_product(col("ea"), col("eb")))
+    // cosine: composed (3 array passes) vs single-pass native kernel
+    import graft.plans.Expressions.{dot_product => dp}
+    time("cos3  ")(dp(col("ea"), col("eb")) /
+      (sqrt(dp(col("ea"), col("ea"))) * sqrt(dp(col("eb"), col("eb")))))
+    time("cos1  ")(graft.plans.Expressions.cosine_sim(col("ea"), col("eb")))
     spark.stop()
   }
 }

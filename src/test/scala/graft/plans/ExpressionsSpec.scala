@@ -66,6 +66,43 @@ class ExpressionsSpec extends SparkSpec {
     assert(edge.toSeq === Seq(true, true))
   }
 
+  test("CosineSimExpr equals the composed dot/norm form bit-for-bit") {
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 50).map { i =>
+      (i.toLong, Seq.fill(16)(rnd.nextDouble() * 2 - 1), Seq.fill(16)(rnd.nextDouble() * 2 - 1))
+    }
+    val df = rows.toDF("id", "a", "b")
+    val got = df.select(
+        Expressions.cosine_sim(col("a"), col("b")).as("native"),
+        (Expressions.dot_product(col("a"), col("b")) /
+          (sqrt(Expressions.dot_product(col("a"), col("a"))) *
+           sqrt(Expressions.dot_product(col("b"), col("b"))))).as("composed"))
+      .collect()
+    got.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+    // length mismatch / null input -> null, like dot_product
+    val edge = Seq(
+      (1L, Some(Seq(1.0, 2.0)), Some(Seq(1.0))),
+      (2L, None, Some(Seq(1.0, 2.0))))
+      .toDF("id", "a", "b")
+      .select(Expressions.cosine_sim(col("a"), col("b")).as("c"))
+      .collect().map(_.isNullAt(0))
+    assert(edge.toSeq === Seq(true, true))
+  }
+
+  test("cosine_sim stays inside whole-stage codegen") {
+    val plan = spark.range(10)
+      .select(array(col("id").cast("double"), lit(1.0)).as("a"),
+        array(lit(2.0), col("id").cast("double")).as("b"))
+      .select(Expressions.cosine_sim(col("a"), col("b")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), plan)
+    assert(plan.contains("cosine_sim("), plan)
+    assert(!plan.toLowerCase.contains("udf"), plan)
+  }
+
   test("dot_product stays inside whole-stage codegen") {
     val plan = spark.range(10)
       .select(array(col("id").cast("double"), lit(1.0)).as("a"),
