@@ -127,8 +127,17 @@ object Similarity {
     * truncates lineage so Catalyst never re-analyzes a growing plan; at
     * 10^12 rows the update is one posexplode shuffle keyed on
     * (cluster, pos), map-side combined, per round. */
-  def kmeansCentroids(embeddings: DataFrame, k: Int, iters: Int): DataFrame = {
-    val e = embeddings.select(col("vec_id"), col("embedding"))
+  def kmeansCentroids(embeddings: DataFrame, k: Int, iters: Int,
+                      samplePermille: Int = 1000): DataFrame = {
+    // 10^12-row path: train the codebook on a deterministic hash-keyed
+    // sample (same knob as [[centroids]]) — Lloyd converges long before
+    // full coverage, and the per-round posexplode shuffle shrinks by the
+    // sample ratio. Assignment of the FULL corpus still uses every row.
+    val e0 = embeddings.select(col("vec_id"), col("embedding"))
+    val e =
+      if (samplePermille >= 1000) e0
+      else e0.filter(col("vec_id") < k || // keep the deterministic init points
+        pmod(xxhash64(col("vec_id")), lit(1000)) < samplePermille)
     var cents = e.filter(col("vec_id") < k)
       .select(col("vec_id").cast("int").as("cluster"),
         transform(col("embedding"), x => round(x, 6)).as("centroid"))

@@ -35,6 +35,19 @@ object StreamingKg {
   def pagesStream(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(PageSchema).parquet(dir)
 
+  /** Streaming corpus dedup gate — the incremental counterpart of the
+    * batch pipeline's `dedupMinJaccard`: exact-duplicate pages (same
+    * extracted-text hash) arriving within the lateness horizon are dropped
+    * with watermark-bounded state, so a crawl that re-fetches a page (or
+    * mirrors serving identical content) spends inference once. Near-dup
+    * (Jaccard) clustering is inherently corpus-global and stays in the
+    * periodic batch compaction, like canonicalization. Input must carry
+    * `warc_ts` and a `hashed_text` column (or call after the extract
+    * stage). */
+  def dedupPagesStream(pages: DataFrame, watermark: String = "1 hour"): DataFrame =
+    pages.withWatermark("warc_ts", watermark)
+      .dropDuplicatesWithinWatermark("hashed_text")
+
   /** Streaming triple extraction: extract → prompt-build → infer → parse →
     * align. Identical per-row semantics to the batch pipeline (same
     * functions, including the prompt stage — stateless, so it streams). */

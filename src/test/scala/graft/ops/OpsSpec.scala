@@ -234,6 +234,17 @@ class SimilaritySpec extends SparkSpec {
     assert(repart === base)
   }
 
+  test("sampled codebook training still recovers the planted clusters") {
+    val cents = Similarity.kmeansCentroids(embs, k = 4, iters = 2,
+      samplePermille = 500)
+    val assign = Similarity.kmeansAssign(embs, cents).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    (0 until 4).foreach { c =>
+      val members = (0L until 40L).filter(_ % 4 == c).map(assign)
+      assert(members.distinct.size === 1, s"cluster $c split under sampling")
+    }
+  }
+
   test("ivf over trained codebook equals brute force when every cell is probed") {
     val brute = Similarity.bruteTopK(embs, 0, 10).collect()
       .map(r => (r.getLong(0), r.getDouble(1)))

@@ -127,6 +127,26 @@ class StreamingSpec extends SparkSpec {
       ("2024-01-01 00:05:00.0", "view", 1L)))
   }
 
+  test("streaming page dedup: re-fetched identical pages drop cross-batch") {
+    def t(m: String) = java.sql.Timestamp.valueOf(m)
+    val input = MemoryStream[(String, java.sql.Timestamp, String)](spark)
+    val pages = input.toDF().toDF("url", "warc_ts", "text")
+      .withColumn("hashed_text", sha2(col("text"), 256))
+    val q = StreamingKg.dedupPagesStream(pages)
+      .writeStream.format("memory").queryName("pagededup_out")
+      .outputMode("append").start()
+    input.addData(("u1", t("2024-01-01 00:00:00"), "same text"),
+      ("u2", t("2024-01-01 00:01:00"), "other text"))
+    q.processAllAvailable()
+    // the crawl re-fetches identical content under a new url, later batch
+    input.addData(("u3", t("2024-01-01 00:05:00"), "same text"))
+    q.processAllAvailable()
+    val urls = spark.table("pagededup_out").select("url")
+      .collect().map(_.getString(0)).sorted.toSeq
+    q.stop()
+    assert(urls === Seq("u1", "u2"))
+  }
+
   test("watermarked dedup drops cross-batch duplicate event ids") {
     val input = MemoryStream[(Long, java.sql.Timestamp, Double)](spark)
     val events = input.toDF().toDF("event_id", "ts", "value")
