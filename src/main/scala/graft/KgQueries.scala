@@ -45,18 +45,23 @@ object KgQueries {
     * kg_rdf_golden_slice; this catches any regression of the other ~550
     * rows at the gate. Regenerate via graft.tools.GoldenRdf after
     * intentional changes. */
-  private def goldenTsvValues(resource: String): String = {
+  private def goldenTsvValues(resource: String, boolCols: Set[Int] = Set.empty): String = {
     val in = getClass.getResourceAsStream(resource)
     val src = scala.io.Source.fromInputStream(in, "UTF-8")
     def q(v: String) = "'" + v.replace("'", "''") + "'"
     try src.getLines().map { line =>
+      // quote by COLUMN position, never by value — a varchar field whose
+      // value happens to be "true" (e.g. an xsd:boolean literal object)
+      // must stay a string
       val fields = line.split("\t", -1)
-      fields.map(f => if (f == "true" || f == "false") f else q(f))
+      fields.zipWithIndex
+        .map { case (f, i) => if (boolCols(i)) f else q(f) }
         .mkString("(", ", ", ")")
     }.mkString(", ")
     finally src.close()
   }
-  private lazy val goldenRdfValues = goldenTsvValues("/golden/kg_rdf_triples.tsv")
+  private lazy val goldenRdfValues =
+    goldenTsvValues("/golden/kg_rdf_triples.tsv", boolCols = Set(4)) // obj_is_literal
   private lazy val goldenTtlValues = goldenTsvValues("/golden/kg_rdf_ttl.tsv")
 
   /** Per-session gate bootstrap cache: the tiny dim snapshot, its prepared
@@ -64,13 +69,24 @@ object KgQueries {
     * across every KG gate query — building them once per session removes
     * the dominant fixed cost of the chain-running queries (dedup windows +
     * broadcast builds were 27% of the visible gate wall at sf0.1). */
+  // Entries for STOPPED sessions are evicted on every access (a weak-key
+  // map would not work here: the cached DataFrames strongly reference
+  // their session, so the value would pin the key) — a long-lived driver
+  // JVM holds at most the live sessions' bootstraps plus dead entries only
+  // until the next gate-query call.
+  private def evictStopped[V](m: java.util.concurrent.ConcurrentHashMap[SparkSession, V]): Unit = {
+    val it = m.keySet().iterator()
+    while (it.hasNext) if (it.next().sparkContext.isStopped) it.remove()
+  }
   private val dimCache = new java.util.concurrent.ConcurrentHashMap[
     SparkSession, (Dims.Snapshot, Hydrator.Prepared, DataFrame)]()
-  private def cachedDims(s: SparkSession): (Dims.Snapshot, Hydrator.Prepared, DataFrame) =
+  private def cachedDims(s: SparkSession): (Dims.Snapshot, Hydrator.Prepared, DataFrame) = {
+    evictStopped(dimCache)
     dimCache.computeIfAbsent(s, s => {
       val dims = Dims.tiny(s).persisted()
       (dims, Hydrator.prepare(dims).cached(), Linker.aliasDim(dims).cache())
     })
+  }
 
   /** Per-session fixture-pipeline result, shared by every gate query that
     * reads the fixture pipeline's output (RDF full set, TTL documents,
@@ -79,7 +95,8 @@ object KgQueries {
     * from its persisted stage boundary. */
   private val resultCache = new java.util.concurrent.ConcurrentHashMap[
     SparkSession, KgPipeline.Result]()
-  private def fixtureResult(s: SparkSession): KgPipeline.Result =
+  private def fixtureResult(s: SparkSession): KgPipeline.Result = {
+    evictStopped(resultCache)
     resultCache.computeIfAbsent(s, s => {
       val (dims, prepared, alias) = cachedDims(s)
       val client = Inference.defaultClient(
@@ -92,6 +109,7 @@ object KgQueries {
       KgPipeline.Result(res.triples.persist(), res.lineage,
         res.rdf.map(_.persist()))
     })
+  }
   private def fixtureRdf(s: SparkSession) = fixtureResult(s).rdf.get
 
   val queries: Map[String, Q] = Map(

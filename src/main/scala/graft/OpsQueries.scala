@@ -255,9 +255,9 @@ object OpsQueries {
             FROM $aTbl JOIN e USING (vec_id)) GROUP BY 1, 2) GROUP BY cluster)"""
   private val kmChain: String =
     s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-       c0 AS (SELECT vec_id::INT AS cluster,
+       c0 AS (SELECT (row_number() OVER (ORDER BY vec_id) - 1)::INT AS cluster,
                 list_transform(emb, x -> round(x, 6)) AS centroid
-              FROM e WHERE vec_id < 5),
+              FROM (SELECT * FROM e ORDER BY vec_id LIMIT 5)),
        ${kmAssign("c0", "a1")},
        ${kmUpdate("a1", "c1")},
        ${kmAssign("c1", "a2")},

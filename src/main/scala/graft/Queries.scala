@@ -77,9 +77,12 @@ object Queries {
       // has duplicate (orderkey, shipdate, linenumber) keys at sf0.1, and a
       // non-total order makes "first hit" engine-dependent (caught by the
       // round-3 cross-scale verify)
+      // appending the OUTPUT columns (quantity, returnflag) makes first-hit
+      // provably deterministic even if all join-side keys ever tie
       val w = Window.partitionBy(col("l_orderkey"))
         .orderBy(col("l_shipdate"), col("l_linenumber"),
-          col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))
+          col("l_partkey"), col("l_suppkey"), col("l_extendedprice"),
+          col("l_quantity"), col("l_returnflag"))
       Tables.lineitem(s, dir)
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
@@ -193,7 +196,7 @@ object Queries {
          FROM (SELECT *, row_number() OVER
                  (PARTITION BY l_orderkey
                   ORDER BY l_shipdate, l_linenumber, l_partkey, l_suppkey,
-                           l_extendedprice) AS rn
+                           l_extendedprice, l_quantity, l_returnflag) AS rn
                FROM lineitem)
          WHERE rn = 1 GROUP BY l_returnflag""",
     "q_groupcount" ->

@@ -109,8 +109,10 @@ object KgPipeline {
     // extracted text BEFORE any inference tokens are spent on duplicates.
     // Doc ids are content-derived url hashes; the loser set (keep = false)
     // is duplicate-cluster members only — tiny next to the corpus — so the
-    // marking join broadcasts under AQE. `marked` is persisted because the
-    // dedup candidate generation + the downstream pipeline both consume it.
+    // marking join broadcasts under AQE. Both frames persist: `withId`
+    // because Dedup.dedupe scans the docs several times (minhash tokens,
+    // Jaccard tokens, sizes), `marked` because the lineage stats and the
+    // downstream pipeline each consume it.
     val (deduped, dedupStats) = cfg.dedupMinJaccard match {
       case Some(minJ) =>
         val withId = slim.withColumn("doc_id", xxhash64(col("url")))
@@ -122,6 +124,7 @@ object KgPipeline {
           .join(losers, withId("doc_id") === losers("drop_id"), "left")
           .withColumn("dedup_keep", col("drop_id").isNull)
           .drop("drop_id", "doc_id")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val stats = marked
           .groupBy(spark_partition_id().as("partition_id"))
           .agg(count(lit(1)).as("input_rows"),

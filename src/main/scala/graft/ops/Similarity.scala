@@ -129,18 +129,28 @@ object Similarity {
     * (cluster, pos), map-side combined, per round. */
   def kmeansCentroids(embeddings: DataFrame, k: Int, iters: Int,
                       samplePermille: Int = 1000): DataFrame = {
+    // Deterministic init: the k SMALLEST vec_ids (not `vec_id < k`, which
+    // silently yields fewer/zero centroids when ids are sparse or hashed —
+    // e.g. xxhash64-derived doc ids), cluster id = rank among those k.
+    val e0 = embeddings.select(col("vec_id"), col("embedding"))
+    val init = e0.orderBy(col("vec_id")).limit(k)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => round(x, 6)).as("centroid"))
+    val initRanked = init
+      .withColumn("cluster", (row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("vec_id"))) - 1)
+        .cast("int")) // k-row frame: the single-partition window is bounded
     // 10^12-row path: train the codebook on a deterministic hash-keyed
     // sample (same knob as [[centroids]]) — Lloyd converges long before
     // full coverage, and the per-round posexplode shuffle shrinks by the
-    // sample ratio. Assignment of the FULL corpus still uses every row.
-    val e0 = embeddings.select(col("vec_id"), col("embedding"))
+    // sample ratio. Init points always stay in the training set; assignment
+    // of the FULL corpus still uses every row.
     val e =
       if (samplePermille >= 1000) e0
-      else e0.filter(col("vec_id") < k || // keep the deterministic init points
-        pmod(xxhash64(col("vec_id")), lit(1000)) < samplePermille)
-    var cents = e.filter(col("vec_id") < k)
-      .select(col("vec_id").cast("int").as("cluster"),
-        transform(col("embedding"), x => round(x, 6)).as("centroid"))
+      else initRanked.select(col("vec_id")).join(e0, "vec_id")
+        .unionByName(e0.filter(pmod(xxhash64(col("vec_id")), lit(1000)) < samplePermille))
+        .dropDuplicates("vec_id")
+    var cents = initRanked.select("cluster", "centroid")
       .localCheckpoint(true)
     for (_ <- 0 until iters) {
       val assigned = kmeansAssign(e, cents).select("vec_id", "cluster")

@@ -149,15 +149,22 @@ object SnapshotStore {
     * concurrent writer's staged-but-not-yet-published files are legitimately
     * unreferenced, so production sweeps should pass a grace period safely
     * above the longest commit (the Iceberg orphan-cleanup convention).
+    * `nowMs` pins the cutoff clock (the engine's no-wall-clock rule covers
+    * data outputs; this maintenance cutoff is injectable so tests and
+    * reproducible ops can pin it — the default reads the system clock).
     * Returns (manifests deleted, data files deleted). */
   def expireSnapshots(spark: SparkSession, dir: String, keepLast: Int = 2,
-                      graceMs: Long = 0L): (Int, Int) = {
+                      graceMs: Long = 0L,
+                      nowMs: Long = System.currentTimeMillis()): (Int, Int) = {
     require(keepLast >= 1, "must retain at least the head snapshot")
     val f = fs(spark, dir)
     val head = currentVersion(spark, dir)
     if (head == 0) return (0, 0)
     val oldestKept = math.max(1, head - keepLast + 1)
+    // versions inside the window may already be gone (a previous sweep with
+    // a smaller keepLast) — skip absent manifests instead of crashing
     val referenced = (oldestKept to head)
+      .filter(v => f.exists(snapshotPath(dir, v)))
       .flatMap(v => readSnapshot(spark, dir, v).tables.values.flatten).toSet
     var mDel = 0
     (1 until oldestKept).foreach { v =>
@@ -167,7 +174,7 @@ object SnapshotStore {
     var dDel = 0
     val stage = new Path(s"$dir/stage")
     if (f.exists(stage)) {
-      val cutoff = System.currentTimeMillis() - graceMs
+      val cutoff = nowMs - graceMs
       val it = f.listFiles(stage, true)
       val doomed = scala.collection.mutable.ArrayBuffer.empty[Path]
       while (it.hasNext) {

@@ -57,7 +57,6 @@ class CanonicalizerSpec extends SparkSpec {
     val probed = Canonicalizer.connectedComponents(edges)
     val unprobed = Canonicalizer.connectedComponents(edges, localProbe = false)
     // the probed path collapses a small graph to a driver LocalRelation;
-    // the probed path collapses a small graph to a driver LocalRelation;
     // skipping the probe must leave a distributed result (the min-label
     // rounds localCheckpoint → LogicalRDD) — i.e. no driver collect happened
     import org.apache.spark.sql.catalyst.plans.logical.LocalRelation

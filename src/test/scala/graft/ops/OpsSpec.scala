@@ -234,6 +234,19 @@ class SimilaritySpec extends SparkSpec {
     assert(repart === base)
   }
 
+  test("kmeans init tolerates sparse/hashed vec_ids (k smallest, rank-labelled)") {
+    val shifted = embs.withColumn("vec_id", col("vec_id") * 1000 + 123456789L)
+    val assign = Similarity.kmeans(shifted, k = 4, iters = 2).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(assign.size === 40)
+    assert(assign.values.toSet.size === 4) // k real clusters, not silently empty
+    (0 until 4).foreach { c =>
+      val members = (0L until 40L).filter(_ % 4 == c)
+        .map(i => assign(i * 1000 + 123456789L))
+      assert(members.distinct.size === 1, s"cluster $c split: $members")
+    }
+  }
+
   test("sampled codebook training still recovers the planted clusters") {
     val cents = Similarity.kmeansCentroids(embs, k = 4, iters = 2,
       samplePermille = 500)
