@@ -232,6 +232,24 @@ object KgQueries {
         .select("strat_name_long", "clat", "clng").distinct()
     },
 
+    // S6+S7 composed: per-page entity coordinates — the reference's
+    // geolocate_model_graph_extraction (geolocation/postprocessing.py:5-29)
+    // attaches entity_coords from BOTH sources: subject geocode (serpapi →
+    // our gazetteer join) and strat-unit GPS (StratNameGPSLookup → our
+    // strat-GPS dim join). Located entities only, like the reference's
+    // if-hit inserts. Oracle VALUES hand-derived per fixture page.
+    "kg_entity_coords" -> { (s, dir) =>
+      val t = fixtureResult(s).triples
+      val (dims, _, _) = cachedDims(s)
+      val subj = t.filter(col("subj_lat").isNotNull)
+        .select(col("url"), col("subj_name").as("entity"),
+          col("subj_lat").as("lat"), col("subj_lon").as("lon"))
+      val strat = Hydrator.stratGps(t, dims).filter(col("clat").isNotNull)
+        .select(col("url"), col("strat_name_long").as("entity"),
+          col("clat").as("lat"), col("clng").as("lon"))
+      subj.unionByName(strat).distinct()
+    },
+
     // P7 + P8: formula -> element extraction and the USGS-exclusive
     // fallback, through the REAL align -> canonicalize -> hydrate chain.
     // fluorspar is absent from the Macrostrat mineral dim and must pick up
@@ -488,6 +506,22 @@ object KgQueries {
            ('Jasper Member', NULL::DOUBLE, NULL::DOUBLE),
            ('Sauk Sequence', NULL::DOUBLE, NULL::DOUBLE)
          ) t(strat_name_long, clat, clng)""",
+    "kg_entity_coords" ->
+      """SELECT * FROM (VALUES
+           ('https://fixtures.graft/sauk', 'Minnesota', 46.4419, -93.3655),
+           ('https://fixtures.graft/sauk', 'northern Arkansas', 36.2, -92.5),
+           ('https://fixtures.graft/sauk', 'Shakopee Formation', 44.8, -93.5),
+           ('https://fixtures.graft/sauk', 'Smithville Formation', 36.05, -91.2),
+           ('https://fixtures.graft/shakopee', 'Minnesota', 46.4419, -93.3655),
+           ('https://fixtures.graft/shakopee', 'Shakopee Formation', 44.8, -93.5),
+           ('https://fixtures.graft/gold', 'Minnesota', 46.4419, -93.3655),
+           ('https://fixtures.graft/bare-list', 'Minnesota', 46.4419, -93.3655),
+           ('https://fixtures.graft/bare-list', 'Shakopee Formation', 44.8, -93.5),
+           ('https://fixtures.graft/trailing', 'Minnesota', 46.4419, -93.3655),
+           ('https://fixtures.graft/trailing', 'Shakopee Formation', 44.8, -93.5),
+           ('https://fixtures.graft/invalid-row', 'Minnesota', 46.4419, -93.3655),
+           ('https://fixtures.graft/invalid-row', 'Shakopee Formation', 44.8, -93.5)
+         ) t(url, entity, lat, lon)""",
     "kg_elements" ->
       """SELECT * FROM (VALUES
            ('gold', 'gold', 'Au', 'Macrostrat', ['Au']),
