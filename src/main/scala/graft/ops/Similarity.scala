@@ -145,11 +145,15 @@ object Similarity {
     // full coverage, and the per-round posexplode shuffle shrinks by the
     // sample ratio. Init points always stay in the training set; assignment
     // of the FULL corpus still uses every row.
+    // the sampled training set is consumed twice per Lloyd round (assign +
+    // centroid update) and its lineage carries the init sort/join/dedup —
+    // materialize it ONCE so rounds never re-scan the full corpus
     val e =
       if (samplePermille >= 1000) e0
       else initRanked.select(col("vec_id")).join(e0, "vec_id")
         .unionByName(e0.filter(pmod(xxhash64(col("vec_id")), lit(1000)) < samplePermille))
         .dropDuplicates("vec_id")
+        .localCheckpoint(true)
     var cents = initRanked.select("cluster", "centroid")
       .localCheckpoint(true)
     for (_ <- 0 until iters) {

@@ -147,14 +147,15 @@ object SnapshotStore {
     *
     * `graceMs`: only files older than this are swept — in a live store a
     * concurrent writer's staged-but-not-yet-published files are legitimately
-    * unreferenced, so production sweeps should pass a grace period safely
-    * above the longest commit (the Iceberg orphan-cleanup convention).
-    * `nowMs` pins the cutoff clock (the engine's no-wall-clock rule covers
-    * data outputs; this maintenance cutoff is injectable so tests and
+    * unreferenced, so the DEFAULT grace period (1 h, the Iceberg
+    * orphan-cleanup convention) must comfortably exceed the longest commit;
+    * pass 0 only when no writer can be in flight (tests, quiesced stores).
+    * `nowMs` pins the cutoff clock (CLAUDE.md's no-wall-clock rule scopes
+    * to data outputs; this maintenance cutoff is injectable so tests and
     * reproducible ops can pin it — the default reads the system clock).
     * Returns (manifests deleted, data files deleted). */
   def expireSnapshots(spark: SparkSession, dir: String, keepLast: Int = 2,
-                      graceMs: Long = 0L,
+                      graceMs: Long = 60 * 60 * 1000L,
                       nowMs: Long = System.currentTimeMillis()): (Int, Int) = {
     require(keepLast >= 1, "must retain at least the head snapshot")
     val f = fs(spark, dir)

@@ -140,7 +140,10 @@ class SnapshotStoreSpec extends SparkSpec {
     Seq((99L, "crash")).toDF("id", "v")
       .write.mode("overwrite").parquet(s"$dir/stage/v9-dead/t")
 
-    val (mDel, dDel) = SnapshotStore.expireSnapshots(spark, dir, keepLast = 1)
+    // graceMs = 0: no writer is in flight here (the 1 h library default
+    // protects live stores; passing 0 is the quiesced-store/test setting)
+    val (mDel, dDel) = SnapshotStore.expireSnapshots(spark, dir, keepLast = 1,
+      graceMs = 0)
     assert(mDel === 2) // v1, v2 manifests expired
     assert(dDel >= 3)  // v1 data + v2 data + the orphan (and their _SUCCESS etc.)
     // head unchanged and fully readable after the sweep
