@@ -6,16 +6,18 @@ import org.apache.spark.sql.functions._
 /** Similarity search over an embedding column (`array<float>`).
   *
   * Scale design: the brute-force path is the correctness baseline (one pass,
-  * no shuffle besides the final top-k); the IVF path is the 10^12-row shape —
-  * a coarse quantizer splits the corpus into clusters, the query probes only
-  * `nprobe` clusters, so the scan touches nprobe/k of the data. Here the
-  * coarse assignment comes from the corpus `label` column (stand-in for a
-  * trained k-means codebook — training one is out of scope; the *plumbing*
-  * — centroid table, probe-then-scan plan, partition pruning by cluster —
-  * is the real thing).
+  * no shuffle besides the final top-k); the IVF paths are the 10^12-row
+  * shape — a coarse quantizer splits the corpus into clusters, the query
+  * probes only `nprobe` clusters, so the scan touches nprobe/k of the data.
+  * Two quantizers: the corpus `label` column ([[ivfTopK]], zero training
+  * cost when a partitioning label already exists) and a TRAINED
+  * deterministic Lloyd's k-means codebook ([[kmeansCentroids]] /
+  * [[ivfTopKKmeans]], engine-portable enough that the DuckDB gate oracle
+  * reproduces the training rounds).
   *
-  * Dot products use `zip_with` + `aggregate` higher-order functions: pure
-  * Catalyst expressions, no UDF, no per-row JVM boxing beyond the array.
+  * Dot products and cosines are native codegen'd Catalyst expressions
+  * (graft.plans.Expressions) — single primitive loops, no UDF, bit-identical
+  * to the `zip_with`+`aggregate` HOF forms they replaced (parity-tested).
   */
 object Similarity {
 
