@@ -166,6 +166,20 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(dDel2 === 0)
   }
 
+  test("repeated sweeps: a window covering already-expired versions doesn't crash") {
+    val dir = tmp("snapresweep")
+    (1 to 3).foreach(i =>
+      SnapshotStore.commit(spark, dir, Map("t" -> Seq((i.toLong, s"v$i")).toDF("id", "v"))))
+    SnapshotStore.expireSnapshots(spark, dir, keepLast = 1, graceMs = 0)
+    // second sweep with a LARGER window: v2 is inside (oldestKept=1..3) but
+    // its manifest is gone — must be skipped, not read
+    val (m2, d2) = SnapshotStore.expireSnapshots(spark, dir, keepLast = 3, graceMs = 0)
+    assert(m2 === 0 && d2 === 0)
+    val rows = SnapshotStore.read(spark, dir, "t").get
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rows === Set((1L, "v1"), (2L, "v2"), (3L, "v3")))
+  }
+
   test("replace-mode commit carries prior meta forward; new keys win") {
     val dir = tmp("snapmeta")
     SnapshotStore.commit(spark, dir, Map("t" -> Seq((1L, "a")).toDF("id", "v")),
