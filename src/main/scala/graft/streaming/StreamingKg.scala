@@ -48,20 +48,27 @@ object StreamingKg {
     pages.withWatermark("warc_ts", watermark)
       .dropDuplicatesWithinWatermark("hashed_text")
 
-  /** Streaming triple extraction: extract → prompt-build → infer → parse →
-    * align. Identical per-row semantics to the batch pipeline (same
-    * functions, including the prompt stage — stateless, so it streams). */
+  /** Streaming triple extraction: extract → [exact-dedup gate] →
+    * prompt-build → infer → parse → align. Identical per-row semantics to
+    * the batch pipeline (same functions, including the prompt stage —
+    * stateless, so it streams). `dedupWatermark = Some(horizon)` inserts
+    * [[dedupPagesStream]] between extraction and inference — the streaming
+    * counterpart of the batch `Config.dedupMinJaccard` gate, so re-fetched
+    * identical pages never reach the model. */
   def triplesStream(pages: DataFrame, dims: Dims.Snapshot,
                     client: Inference.InferenceClient,
-                    microBatch: Int = 200): DataFrame = {
+                    microBatch: Int = 200,
+                    dedupWatermark: Option[String] = None): DataFrame = {
     val prompting: Seq[Inference.HandlerDict] = Seq(
       Prompts.StratV3 -> dims.stratDim.select("strat_name")
         .collect().map(_.getString(0)),
       Prompts.MineralV0 -> dims.mineralDim.select("mineral")
         .collect().map(_.getString(0)))
-    val extracted = pages
+    val extracted0 = pages
       .withColumn("text", udf((h: Array[Byte]) => HtmlText.extract(h)).apply(col("html")))
       .withColumn("hashed_text", sha2(col("text"), 256))
+    val extracted = dedupWatermark
+      .map(w => dedupPagesStream(extracted0, w)).getOrElse(extracted0)
     val raw = Inference.run(extracted, client, microBatch, prompting)
     val parsed = PostProcess.triplesDf(raw.toDF())
     Linker.align(parsed, Linker.aliasDim(dims))

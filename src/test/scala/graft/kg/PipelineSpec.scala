@@ -284,6 +284,25 @@ class KgPipelineSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"))
   }
 
+  test("semantic query vector: driver-side Scala equals the engine expression") {
+    import graft.KgQueries
+    val q = KgQueries.SemanticQuery
+    val driverSide = KgQueries.semanticQueryVector(q).toSeq
+    // featurize the SAME string through the engine's column expressions
+    val engineSide = {
+      import org.apache.spark.sql.functions._
+      val tok = Seq((1L, q)).toDF("doc_id", "text")
+        .select(col("doc_id"),
+          explode(filter(split(col("text"), " "), t => t =!= "")).as("tok"))
+        .withColumn("b", substring(md5(col("tok")), 1, 1))
+      val sums = "0123456789abcdef".map(h =>
+        sum(when(col("b") === h.toString, 1).otherwise(0)).cast("double").as(s"c$h"))
+      tok.groupBy("doc_id").agg(sums.head, sums.tail: _*)
+        .drop("doc_id").collect()(0).toSeq.map(_.asInstanceOf[Double])
+    }
+    assert(engineSide === driverSide)
+  }
+
   test("dedupFirst: duplicate pages drop before inference; lineage counts the drop") {
     val pages = Pages.fixtures(spark)
     val dup = pages.filter(col("url") === "https://fixtures.graft/sauk")

@@ -127,6 +127,24 @@ class StreamingSpec extends SparkSpec {
       ("2024-01-01 00:05:00.0", "view", 1L)))
   }
 
+  test("dedup gate inside triplesStream: identical page spends inference once") {
+    val dir = java.nio.file.Files.createTempDirectory("pagestreamdedup").toString
+    val pages = Pages.fixtures(spark)
+    pages.unionByName(
+        pages.filter(col("url") === "https://fixtures.graft/sauk")
+          .withColumn("url", lit("https://fixtures.graft/sauk-copy")))
+      .write.mode("overwrite").parquet(dir)
+    val q = StreamingKg.triplesStream(StreamingKg.pagesStream(spark, dir),
+        dims, client, dedupWatermark = Some("1 hour"))
+      .writeStream.format("memory").queryName("triples_dedup_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val urls = spark.table("triples_dedup_out").select("url").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(urls.count(Set("https://fixtures.graft/sauk",
+      "https://fixtures.graft/sauk-copy")) === 1)
+  }
+
   test("streaming page dedup: re-fetched identical pages drop cross-batch") {
     def t(m: String) = java.sql.Timestamp.valueOf(m)
     val input = MemoryStream[(String, java.sql.Timestamp, String)](spark)
