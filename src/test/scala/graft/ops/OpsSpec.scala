@@ -267,6 +267,23 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf.toSeq === brute.toSeq)
   }
 
+  test("plan discipline: similarity/dedup gate queries never plan a cartesian") {
+    // regression guard: the ONLY nested-loop joins these operators may plan
+    // are broadcasts of bounded-by-construction tables (k centroids, the
+    // 8-row hyperplane anchors, the 1-row query vector); an unbounded
+    // CartesianProduct anywhere means a candidate equi-join key broke.
+    val names = Seq("sim_kmeans", "sim_ivf_kmeans", "sim_cosine_topk",
+      "sim_ivf_topk", "dedup_embedding", "dedup_minhash_lsh",
+      "dedup_simhash_near", "dedup_resolve")
+    names.foreach { n =>
+      val df = graft.OpsQueries.queries(n)(spark, "/root/testdata/sf0.001")
+      df.count() // finalize AQE
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$n planned a cartesian:\n" + plan.linesIterator.take(30).mkString("\n"))
+    }
+  }
+
   test("LSH near-dup: buckets split sign-opposed clusters, verify stage exact") {
     // two antipodal clusters: +e0-ish and -e0-ish — hyperplane signs
     // separate them, so no cross-cluster candidate can survive
