@@ -119,13 +119,21 @@ object Inference {
       recorded: Map[String, String],
       fallback: InferenceClient) extends InferenceClient {
     val modelId = s"graft-fixture+${fallback.modelId}"
-    def infer(batch: Seq[Request]): Seq[String] =
-      batch.map { r =>
-        recorded.get(r.hashed_text) match {
-          case Some(raw) => raw
-          case None => fallback.infer(Seq(r)).head
-        }
+    /** Misses delegate in ONE batched fallback call, preserving the B3
+      * vectorized-inference contract through the wrapper — a real LLM
+      * fallback sees the same micro-batch shape it would without the
+      * recording layer (per-request delegation would collapse a 200-row
+      * vLLM generate into 200 single-prompt calls). */
+    def infer(batch: Seq[Request]): Seq[String] = {
+      val misses = batch.zipWithIndex
+        .filterNot { case (r, _) => recorded.contains(r.hashed_text) }
+      val missOut: Map[Int, String] =
+        if (misses.isEmpty) Map.empty
+        else misses.map(_._2).zip(fallback.infer(misses.map(_._1))).toMap
+      batch.zipWithIndex.map { case (r, i) =>
+        recorded.getOrElse(r.hashed_text, missOut(i))
       }
+    }
   }
 
   object FixtureClient {
