@@ -141,9 +141,12 @@ class SnapshotStoreSpec extends SparkSpec {
       .write.mode("overwrite").parquet(s"$dir/stage/v9-dead/t")
 
     // graceMs = 0: no writer is in flight here (the 1 h library default
-    // protects live stores; passing 0 is the quiesced-store/test setting)
+    // protects live stores; passing 0 is the quiesced-store/test setting).
+    // nowMs is pinned 10 s in the future: the cutoff is strict (<), so a
+    // file staged in the same millisecond as the sweep would otherwise
+    // survive and flake this test under load.
     val (mDel, dDel) = SnapshotStore.expireSnapshots(spark, dir, keepLast = 1,
-      graceMs = 0)
+      graceMs = 0, nowMs = System.currentTimeMillis() + 10000)
     assert(mDel === 2) // v1, v2 manifests expired
     assert(dDel >= 3)  // v1 data + v2 data + the orphan (and their _SUCCESS etc.)
     // head unchanged and fully readable after the sweep
@@ -170,10 +173,12 @@ class SnapshotStoreSpec extends SparkSpec {
     val dir = tmp("snapresweep")
     (1 to 3).foreach(i =>
       SnapshotStore.commit(spark, dir, Map("t" -> Seq((i.toLong, s"v$i")).toDF("id", "v"))))
-    SnapshotStore.expireSnapshots(spark, dir, keepLast = 1, graceMs = 0)
+    SnapshotStore.expireSnapshots(spark, dir, keepLast = 1, graceMs = 0,
+      nowMs = System.currentTimeMillis() + 10000)
     // second sweep with a LARGER window: v2 is inside (oldestKept=1..3) but
     // its manifest is gone — must be skipped, not read
-    val (m2, d2) = SnapshotStore.expireSnapshots(spark, dir, keepLast = 3, graceMs = 0)
+    val (m2, d2) = SnapshotStore.expireSnapshots(spark, dir, keepLast = 3,
+      graceMs = 0, nowMs = System.currentTimeMillis() + 10000)
     assert(m2 === 0 && d2 === 0)
     val rows = SnapshotStore.read(spark, dir, "t").get
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
