@@ -34,16 +34,16 @@ object KgQueries {
   private def sqlList(terms: Seq[String]): String =
     terms.map(t => s"('$t')").mkString(", ")
 
-  /** Pinned golden triple set for the kg_rdf_triples oracle — the gate
-    * analogue of the reference's golden TTL files (tests/fixtures/
-    * test_triplet_to_rdf_*.ttl at tests/test_gkm.py:107-117): the fixture
-    * pipeline's full RDF output, frozen as a VALUES relation over FULL
-    * literal identity (object term + is-literal flag + lang tag + datatype —
-    * the reference's isomorphism check covers all of these,
+  /** Pinned-golden TSV → SQL VALUES rows. Used for the kg_rdf_triples and
+    * kg_rdf_ttl oracles — the gate analogue of the reference's golden TTL
+    * files (tests/fixtures/test_triplet_to_rdf_*.ttl at
+    * tests/test_gkm.py:107-117): the fixture pipeline's output frozen over
+    * FULL literal identity (object term + is-literal flag + lang tag +
+    * datatype — what the reference's isomorphism check compares,
     * tests/test_gkm.py:114-117). Parity with the reference's asserted atoms
     * is proven by GoldenTtlSpec/RdfSpec and the independently hand-derived
-    * kg_rdf_golden_slice; this catches any regression of the other ~550
-    * rows at the gate. Regenerate via graft.tools.GoldenRdf after
+    * kg_rdf_golden_slice; the frozen sets catch regression of the other
+    * ~550 rows at the gate. Regenerate via graft.tools.GoldenRdf after
     * intentional changes. */
   private def goldenTsvValues(resource: String, boolCols: Set[Int] = Set.empty): String = {
     val in = getClass.getResourceAsStream(resource)
