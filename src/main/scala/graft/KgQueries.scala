@@ -107,7 +107,7 @@ object KgQueries {
         KgPipeline.Config(numPartitions = 4, emitRdf = true,
           prebuiltAlias = Some(alias), preparedDims = Some(prepared)))
       KgPipeline.Result(res.triples.persist(), res.lineage,
-        res.rdf.map(_.persist()))
+        res.rdf.map(_.persist()), res.cleanup)
     })
   }
   private def fixtureRdf(s: SparkSession) = fixtureResult(s).rdf.get
@@ -270,7 +270,10 @@ object KgQueries {
       Hydrator.hydratePrepared(canonical, prepared,
           java.sql.Timestamp.valueOf("2024-06-01 00:00:00"))
         .select(col("obj_name").as("name"), col("mineral"), col("formula"),
-          col("formula_source"), col("elements"))
+          col("formula_source"),
+          // array_join'd so any row-hashing comparator (which cannot
+          // canonicalize ndarray cells) can sort/hash the column.
+          array_join(col("elements"), ",").as("elements"))
     },
 
     // G2/P6: entity-name formatting to URI-safe node ids — via the native
@@ -524,10 +527,10 @@ object KgQueries {
          ) t(url, entity, lat, lon)""",
     "kg_elements" ->
       """SELECT * FROM (VALUES
-           ('gold', 'gold', 'Au', 'Macrostrat', ['Au']),
-           ('gallium', 'gallium', 'Ga', 'Macrostrat', ['Ga']),
-           ('Agrinierite', 'Agrinierite', 'K2(Ca,Sr)[(UO2)3O3(OH)2]2·5H2O', 'Macrostrat', ['Ca', 'H', 'K', 'O', 'Sr', 'U']),
-           ('fluorspar', NULL::VARCHAR, 'CaF2', 'Mindat', ['Ca', 'F'])
+           ('gold', 'gold', 'Au', 'Macrostrat', 'Au'),
+           ('gallium', 'gallium', 'Ga', 'Macrostrat', 'Ga'),
+           ('Agrinierite', 'Agrinierite', 'K2(Ca,Sr)[(UO2)3O3(OH)2]2·5H2O', 'Macrostrat', 'Ca,H,K,O,Sr,U'),
+           ('fluorspar', NULL::VARCHAR, 'CaF2', 'Mindat', 'Ca,F')
          ) t(name, mineral, formula, formula_source, elements)""",
     "kg_entity_uri" ->
       s"""SELECT DISTINCT term,

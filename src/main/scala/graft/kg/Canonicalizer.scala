@@ -172,7 +172,7 @@ object Canonicalizer {
       val realNames = (probe.map(r => (r.getString(0), r.getString(1))) ++
         probe.map(r => (r.getString(0), r.getString(2)))).distinct
       realNames.foreach { case (kind, name) =>
-        union((kind, name), (kind, " norm:" + normLocal(name)))
+        union((kind, name), (kind, "\u0000norm:" + normLocal(name)))
       }
       linkPairs.foreach { r =>
         union((r.getString(0), r.getString(1)), (r.getString(0), r.getString(2)))
@@ -204,7 +204,7 @@ object Canonicalizer {
 
     val normEdges = vertices.select(
       col("id").as("src"),
-      nid(col("kind"), concat(lit(" norm:"), col("norm"))).as("dst"))
+      nid(col("kind"), concat(lit("\u0000norm:"), col("norm"))).as("dst"))
     val alignEdges = aligned
       .filter(col("obj_linked"))
       .select(nid(col("obj_kind"), col("obj_name")).as("src"),

@@ -40,6 +40,14 @@ object KgPipeline {
       // extracted text; only each duplicate cluster's min-id winner flows
       // into inference. Drops are counted in the lineage `dedup` stage.
       dedupMinJaccard: Option[Double] = None,
+      // true (default): pin `broadcast(done)` on the resume anti-join —
+      // optimal while the done-set fits in driver/executor memory. false:
+      // plain left_anti and let AQE size the build side — the scale path
+      // once `done` approaches page cardinality (10^12 urls cannot be a
+      // pinned broadcast; AQE still picks broadcast while it fits, and
+      // demotes to shuffle join when it does not). Mirrors the
+      // Hydrator.hydratePrepared(broadcastDims) duality.
+      broadcastDone: Boolean = true,
       emitRdf: Boolean = false,
       checkpointDir: Option[String] = None,
       jobStart: java.sql.Timestamp = java.sql.Timestamp.valueOf("2024-06-01 00:00:00"),
@@ -58,7 +66,12 @@ object KgPipeline {
   final case class Result(
       triples: DataFrame,
       lineage: DataFrame,
-      rdf: Option[Dataset[Model.RdfTriple]])
+      rdf: Option[Dataset[Model.RdfTriple]],
+      // Unpersists this run's cached intermediates (dedup marks, parsed,
+      // aligned). Call AFTER all outputs have materialized — a long-lived
+      // session (e.g. one SparkSession serving many runs) leaks the cached
+      // frames otherwise; the commit entry points below call it for you.
+      cleanup: () => Unit = () => ())
 
   /** Columns of the output triples table (FIXTURES.md §5). */
   val TripleColumns: Seq[String] = Seq(
@@ -84,7 +97,7 @@ object KgPipeline {
     val pages = cfg.checkpointDir match {
       case Some(dir) if fsExists(spark, s"$dir/done") =>
         val done = spark.read.parquet(s"$dir/done").select("url")
-        pages0.join(broadcast(done), Seq("url"), "left_anti")
+        pages0.join(doneSide(done, cfg), Seq("url"), "left_anti")
       case _ => pages0
     }
 
@@ -113,7 +126,7 @@ object KgPipeline {
     // because Dedup.dedupe scans the docs several times (minhash tokens,
     // Jaccard tokens, sizes), `marked` because the lineage stats and the
     // downstream pipeline each consume it.
-    val (deduped, dedupStats) = cfg.dedupMinJaccard match {
+    val (deduped, dedupStats, dedupCached) = cfg.dedupMinJaccard match {
       case Some(minJ) =>
         val withId = slim.withColumn("doc_id", xxhash64(col("url")))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -131,8 +144,9 @@ object KgPipeline {
             sum(when(col("dedup_keep"), 0L).otherwise(1L)).as("failed_rows"))
           .withColumn("stage", lit("dedup"))
           .withColumn("output_rows", col("input_rows") - col("failed_rows"))
-        (marked.filter(col("dedup_keep")).drop("dedup_keep"), Some(stats))
-      case None => (slim, None)
+        (marked.filter(col("dedup_keep")).drop("dedup_keep"), Some(stats),
+          Seq(withId, marked))
+      case None => (slim, None, Seq.empty[DataFrame])
     }
 
     // B1: explicit url-hash partitioning of the slim rows — the unit of
@@ -197,7 +211,9 @@ object KgPipeline {
               "failed_rows", "job_start")
 
     val rdf = if (cfg.emitRdf) Some(Rdf.fromHydrated(hydrated, dims)) else None
-    Result(triples, lineage, rdf)
+    val cached = dedupCached :+ parsed :+ aligned
+    Result(triples, lineage, rdf,
+      () => cached.foreach(_.unpersist(blocking = false)))
   }
 
   /** Run + commit: write triples and lineage, then mark urls done so a
@@ -222,9 +238,10 @@ object KgPipeline {
     val newUrls =
       if (fsExists(spark, s"$outDir/checkpoint/done")) {
         val done = spark.read.parquet(s"$outDir/checkpoint/done").select("url")
-        pages.select("url").join(broadcast(done), Seq("url"), "left_anti")
+        pages.select("url").join(doneSide(done, cfg), Seq("url"), "left_anti")
       } else pages.select("url")
     newUrls.write.mode("append").parquet(s"$outDir/checkpoint/done")
+    res.cleanup()
   }
 
   /** Run + snapshot-commit: triples and the resume `done` set publish in
@@ -240,17 +257,25 @@ object KgPipeline {
     import graft.sources.SnapshotStore
     val done = SnapshotStore.read(spark, tableDir, "done")
     val todo = done match {
-      case Some(d) => pages.join(broadcast(d.select("url")), Seq("url"), "left_anti")
+      case Some(d) => pages.join(doneSide(d.select("url"), cfg), Seq("url"), "left_anti")
       case None => pages
     }
     val res = run(spark, todo, dims, client, cfg)
     val triples = res.triples
       .withColumn("url_bucket", pmod(xxhash64(col("url")), lit(64)))
-    SnapshotStore.commit(spark, tableDir, Map(
+    val snap = SnapshotStore.commit(spark, tableDir, Map(
       "triples" -> triples,
       "lineage" -> res.lineage,
       "done" -> todo.select("url")))
+    res.cleanup()
+    snap
   }
+
+  /** Resume done-set build side: pinned broadcast (default, unbeatable
+    * while it fits) or un-hinted for AQE sizing (the page-cardinality
+    * scale path — an explicit hint cannot be demoted by AQE). */
+  private def doneSide(done: DataFrame, cfg: Config): DataFrame =
+    if (cfg.broadcastDone) broadcast(done) else done
 
   private def fsExists(spark: SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)

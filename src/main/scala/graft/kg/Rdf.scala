@@ -319,11 +319,19 @@ object Rdf {
         intervalClass(r.getAs[String]("name"), r.getAs[String]("int_type")))
       .toMap
     val bc = spark.sparkContext.broadcast(intervals)
-    hydrated.mapPartitions { it =>
+    dedupTriples(hydrated.mapPartitions { it =>
       val iv = bc.value
       it.flatMap(r => emitRow(r, iv))
-    }.dropDuplicates("url", "subj", "pred", "obj", "lang", "datatype")
+    })
   }
+
+  /** A10: graph-level triple dedup. The key is the FULL term identity —
+    * including `obj_is_literal`, so a URI and a literal with byte-equal
+    * term text (e.g. `xdd:Gold` vs the string "xdd:Gold") never collapse
+    * into one nondeterministically-chosen survivor. */
+  def dedupTriples(triples: Dataset[RdfTriple]): Dataset[RdfTriple] =
+    triples.dropDuplicates(
+      "url", "subj", "pred", "obj", "obj_is_literal", "lang", "datatype")
 
   private def compactUri(u: String): String =
     Prefixes.collectFirst {

@@ -121,9 +121,13 @@ object SnapshotStore {
         val carried = if (replace && staged.contains(t)) Nil else prev.getOrElse(t, Nil)
         t -> (carried ++ staged.getOrElse(t, Nil))
       }.toMap
-      // replace-mode meta: prior snapshot's meta carries forward, new keys win
-      val mergedMeta =
-        if (replace) prevSnap.map(_.meta).getOrElse(Map.empty) ++ meta else meta
+      // meta: prior snapshot's meta carries forward, new keys win — in BOTH
+      // commit modes. Append commits must inherit too: a non-streaming
+      // appender writing into a store also fed by commitBatch would
+      // otherwise overwrite the head meta wholesale, dropping the batch_id
+      // watermark and re-admitting replayed micro-batches (the exact
+      // failure the replace-mode carry-forward guards against).
+      val mergedMeta = prevSnap.map(_.meta).getOrElse(Map.empty) ++ meta
       // publish: temp write + atomic rename; rename-to-existing fails =>
       // another writer won this version, retry against the new head
       val tmp = new Path(s"$dir/snapshots/.tmp-v$v-${Thread.currentThread().getId}.json")
@@ -185,6 +189,21 @@ object SnapshotStore {
           doomed += s.getPath
       }
       doomed.foreach(p => if (f.delete(p, false)) dDel += 1)
+      // sweep now-empty stage directories (deepest first): every commit
+      // attempt creates a writer-unique stage/v<N>-<token> dir, so without
+      // this the empty dirs accumulate forever. Same grace cutoff — a
+      // concurrent writer's freshly-made (still empty) stage dir survives.
+      val dirs = scala.collection.mutable.ArrayBuffer.empty[Path]
+      def walk(p: Path): Unit =
+        f.listStatus(p).foreach { s =>
+          if (s.isDirectory) { walk(s.getPath); dirs += s.getPath }
+        }
+      walk(stage)
+      dirs.foreach { p =>
+        val st = f.getFileStatus(p)
+        if (f.listStatus(p).isEmpty && st.getModificationTime < cutoff)
+          f.delete(p, false)
+      }
     }
     (mDel, dDel)
   }

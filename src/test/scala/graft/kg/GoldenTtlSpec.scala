@@ -88,4 +88,16 @@ class GoldenTtlSpec extends SparkSpec {
     assert(rdf.exists(t => t._2 == s"${Rdf.GSOC}hasDataValue" &&
       t._3 == "( POINT 1.30833 45.98611 )" && t._4))
   }
+
+  test("A10 dedup key includes obj_is_literal: URI/literal with equal term text both survive") {
+    val collide = Seq(
+      Model.RdfTriple("u", "s", "p", "xdd:Gold", obj_is_literal = false, "", ""),
+      Model.RdfTriple("u", "s", "p", "xdd:Gold", obj_is_literal = true, "", ""),
+      // true duplicate of the literal — must collapse
+      Model.RdfTriple("u", "s", "p", "xdd:Gold", obj_is_literal = true, "", ""))
+    val out = Rdf.dedupTriples(spark.createDataset(collide)).collect()
+    assert(out.length === 2)
+    assert(out.count(_.obj_is_literal) === 1)
+    assert(out.count(!_.obj_is_literal) === 1)
+  }
 }

@@ -161,12 +161,18 @@ class SnapshotStoreSpec extends SparkSpec {
       assert(java.nio.file.Files.exists(
         java.nio.file.Paths.get(new java.net.URI(p).getPath)), s"swept live file $p")
     }
+    // emptied stage dirs are swept too (the orphan's whole tree), while
+    // dirs still holding referenced files survive
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/stage/v9-dead")), "empty stage dir not swept")
     // a grace period protects fresh (possibly in-flight) staging
     Seq((50L, "inflight")).toDF("id", "v")
       .write.mode("overwrite").parquet(s"$dir/stage/v9-inflight/t")
     val (_, dDel2) = SnapshotStore.expireSnapshots(spark, dir, keepLast = 1,
       graceMs = 60 * 60 * 1000)
     assert(dDel2 === 0)
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/stage/v9-inflight")), "fresh stage dir must survive grace")
   }
 
   test("repeated sweeps: a window covering already-expired versions doesn't crash") {
@@ -196,10 +202,17 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(m.get("batch_id").contains("7"))          // watermark preserved
     assert(m.get("compaction").contains("canonicalize"))
     assert(m.get("owner").contains("compactor"))     // new key wins
-    // append-mode commits do NOT inherit meta (each batch stamps its own)
+    // append-mode commits inherit too (new keys win): an appender that
+    // stamps only its own keys must not erase another writer's watermark
     SnapshotStore.commit(spark, dir, Map("t" -> Seq((2L, "b")).toDF("id", "v")),
       meta = Map("batch_id" -> "8"))
     val m3 = SnapshotStore.readSnapshot(spark, dir, 3).meta
-    assert(m3 === Map("batch_id" -> "8"))
+    assert(m3.get("batch_id").contains("8"))         // own key advanced
+    assert(m3.get("compaction").contains("canonicalize")) // carried forward
+    assert(m3.get("owner").contains("compactor"))
+    // and a meta-less append drops nothing
+    SnapshotStore.commit(spark, dir, Map("t" -> Seq((3L, "c")).toDF("id", "v")))
+    val m4 = SnapshotStore.readSnapshot(spark, dir, 4).meta
+    assert(m4.get("batch_id").contains("8"))
   }
 }
