@@ -153,6 +153,53 @@ object KgQueries {
           coalesce(col("canonical"), col("surface")).as("obj_canonical"))
     },
 
+    // J2, skew-safe variant: the SAME alignment through Linker.alignSalted
+    // (salted probe key + S-replicated build side, shuffle-hash join) —
+    // identical rows to kg_align, so it shares kg_align's oracle SQL
+    // verbatim. This is the plan that survives a dictionary too large to
+    // broadcast with "Minnesota"-hot probe keys (SURVEY.md §4).
+    "kg_align_salted" -> { (s, dir) =>
+      import s.implicits._
+      val ents = mentionsDf(s, dir, EntTerms).distinct()
+        .withColumn("surface", explode(array(col("term"), initcap(col("term")),
+          concat(col("term"), lit(".")))))
+      val probe = ents
+        .withColumn("url", col("doc_id").cast("string"))
+        .withColumn("obj_name", col("surface"))
+        .withColumn("obj_kind", lit("ent"))
+      val alias = EntTerms.toDF("alias")
+        .select(Linker.normName(col("alias")).as("alias_norm"),
+          concat(lit("canon_"), col("alias")).as("canonical"),
+          lit("ent").as("kind"))
+      Linker.alignSalted(probe, alias, saltBuckets = 8)
+        .select(col("doc_id"), col("surface"), col("obj_canonical"))
+    },
+
+    // J2, tier-2 fuzzy (alignment.py:110-119 sub-normalization linking,
+    // made deterministic): a misspelled name links to its dictionary
+    // canonical via char-3-gram Jaccard argmax iff J >= 0.6; an exact name
+    // stays a tier-1 link; a below-threshold name stays unlinked. Oracle
+    // rows hand-derived: norm("waldron shael") shares 9 of its 11 distinct
+    // 3-grams with "waldron shale" (11 grams) → J = 9/13 ≈ 0.692 >= 0.6;
+    // "Waldrop Q" (7 grams) shares 4 → J = 4/14 ≈ 0.286 < 0.6.
+    "kg_align_fuzzy" -> { (s, dir) =>
+      import s.implicits._
+      val alias = Seq(
+        ("waldron shale", "Waldron Shale"),
+        ("shakopee formation", "Shakopee Formation"),
+        ("gold", "gold"))
+        .toDF("alias_norm", "canonical")
+        .withColumn("kind", lit(Model.ObjKind.Strat))
+      val names = Seq("Waldron Shale", "Waldron Shael", "Waldrop Q")
+        .toDF("n")
+        .select(lit("https://q/fuzzy").as("url"), lit("h").as("hashed_text"),
+          lit("m").as("model_id"), lit("Indiana").as("subj_name"),
+          lit("is in").as("predicate"),
+          col("n").as("obj_name"), lit(Model.ObjKind.Strat).as("obj_kind"))
+      Linker.alignFuzzy(Linker.align(names, alias), alias, minJaccard = 0.6)
+        .select(col("obj_name").as("name"), col("obj_canonical"), col("obj_linked"))
+    },
+
     // CC canonicalization: cluster surface variants, canonical = lexical min
     // of the cluster. Spark runs the real iterative connected-components;
     // the oracle computes the same clusters via the normalized key (exactly
@@ -185,6 +232,32 @@ object KgQueries {
         .agg(count(lit(1)).as("n"))
         .join(broadcast(firstHit), col("term") === col("name"), "left")
         .select(col("doc_id"), col("term"), col("n"), col("dim_id"), col("category"))
+    },
+
+    // J3/S5, rank-suffix fuzzy tier (the reference's exact=False loose
+    // match, schema.py:133-141 + macrostrat.py:87-115): abbreviated strat
+    // surface forms ("Shakopee Fm") run the REAL align → canonicalize →
+    // hydrate chain and land on the pinned record via the contracted-
+    // long-name alias key; a name outside the dim stays unhydrated.
+    // Oracle rows hand-derived from the pinned dim (Dims.pinnedStrat),
+    // never from engine output.
+    "kg_hydrate_fuzzy" -> { (s, dir) =>
+      import s.implicits._
+      val (_, prepared, alias) = cachedDims(s)
+      val surfaces = Seq(
+        "Shakopee Fm", "Roubidoux Fm", "Smithville Formation", "Nonesuch Fm")
+        .toDF("s_name")
+        .select(
+          lit("https://q/strat-fuzzy").as("url"), lit("h").as("hashed_text"),
+          lit("m").as("model_id"), lit("Minnesota").as("subj_name"),
+          lit("is in").as("predicate"),
+          col("s_name").as("obj_name"), lit(Model.ObjKind.Strat).as("obj_kind"))
+      val canonical = Canonicalizer(Linker.align(surfaces, alias))
+      Hydrator.hydratePrepared(canonical, prepared,
+          java.sql.Timestamp.valueOf("2024-06-01 00:00:00"))
+        .select(col("obj_name").as("name"), col("strat_name"),
+          col("strat_name_long"), col("rank"), col("strat_name_id"),
+          col("concept_id"), col("b_age"), col("t_age"))
     },
 
     // Lithology pipeline kind (schema.py:63-98, EntityType.LITHOLOGY):
@@ -404,7 +477,7 @@ object KgQueries {
     "CotterDolomite", "PowellDolomite", "SmithvilleFormation",
     "BlackRockFormation", "EvertonFormation", "JasperMember", "SaukSequence")
 
-  val oracles: Map[String, String] = Map(
+  private val oraclesBase: Map[String, String] = Map(
     "kg_pages" ->
       """SELECT 'https://synthetic.graft/doc/' || doc_id AS url,
          sha256(text) AS hashed_text, lang FROM documents""",
@@ -425,6 +498,8 @@ object KgQueries {
             WHERE regexp_matches(text, '\\b' || term || '\\b'))
           SELECT locs.doc_id, subj, 'co_occurs_with' AS predicate, obj
           FROM locs JOIN ents ON locs.doc_id = ents.doc_id""",
+    // kg_align_salted intentionally shares this SQL verbatim (same rows,
+    // different physical join strategy on the Spark side) — see below.
     "kg_align" ->
       s"""WITH ents AS (
             SELECT DISTINCT doc_id, term FROM documents
@@ -470,6 +545,24 @@ object KgQueries {
           SELECT doc_id, term, n, dim_id, category
           FROM (SELECT * FROM m WHERE n > 0) m
           LEFT JOIN dim ON m.term = dim.name""",
+    // hand-derived from Dims.pinnedStrat: Shakopee 1278/1279 479.0/470.0,
+    // Roubidoux 5871/3842 480.0/475.0, Smithville 5933/3863
+    // 471.2834/465.5 (tests/test_llm.py:7-32); Nonesuch misses.
+    "kg_hydrate_fuzzy" ->
+      """SELECT * FROM (VALUES
+           ('Shakopee Fm', 'Shakopee', 'Shakopee Formation', 'Fm', 1278, 1279, 479.0, 470.0),
+           ('Roubidoux Fm', 'Roubidoux', 'Roubidoux Formation', 'Fm', 5871, 3842, 480.0, 475.0),
+           ('Smithville Formation', 'Smithville', 'Smithville Formation', 'Fm', 5933, 3863, 471.2834, 465.5),
+           ('Nonesuch Fm', NULL::VARCHAR, NULL::VARCHAR, NULL::VARCHAR, NULL::BIGINT, NULL::BIGINT, NULL::DOUBLE, NULL::DOUBLE)
+         ) t(name, strat_name, strat_name_long, "rank", strat_name_id, concept_id, b_age, t_age)""",
+    // hand-derived (gram arithmetic in the query's comment): exact name →
+    // tier-1 link; J=9/13 misspelling → tier-2 link; J=4/14 → unlinked
+    "kg_align_fuzzy" ->
+      """SELECT * FROM (VALUES
+           ('Waldron Shale', 'Waldron Shale', true),
+           ('Waldron Shael', 'Waldron Shale', true),
+           ('Waldrop Q', 'Waldrop Q', false)
+         ) t(name, obj_canonical, obj_linked)""",
     "kg_lith_hydrate" -> {
       val lithValues = kg.Dims.pinnedLith
         .map(r => s"('${r.lith}', ${r.lith_id}, '${r.lith_type}', '${r.lith_class}')")
@@ -482,12 +575,13 @@ object KgQueries {
           keyed AS (
             SELECT surface,
               regexp_replace(regexp_replace(lower(trim(surface)), '\\.+$$', ''), '\\s+', ' ', 'g') AS norm
-            FROM variants),
-          canon AS (
-            SELECT surface, norm, min(surface) OVER (PARTITION BY norm) AS obj_final
-            FROM keyed)
-          SELECT surface, obj_final, lith, lith_id, lith_type, lith_class
-          FROM canon JOIN lithdim ON norm = lith"""
+            FROM variants)
+          -- every variant normalizes onto a dictionary name, so the whole
+          -- cluster is LINKED and canonicalizes to the dictionary entity
+          -- (prefer-linked rule; the reference swaps to the matched name) —
+          -- obj_final IS the lith dim name
+          SELECT surface, lith AS obj_final, lith, lith_id, lith_type, lith_class
+          FROM keyed JOIN lithdim ON norm = lith"""
     },
     "kg_geocode" ->
       """SELECT * FROM (VALUES
@@ -613,4 +707,10 @@ object KgQueries {
       s"SELECT * FROM (VALUES ${rows.mkString(", ")}) t(subj, pred, obj, obj_is_literal, lang, datatype)"
     }
   )
+
+  /** kg_align_salted shares kg_align's oracle SQL verbatim: the salted
+    * shuffle-hash plan must produce hash-identical rows to the broadcast
+    * plan — one more gate-proven physical strategy, zero new oracle SQL. */
+  val oracles: Map[String, String] =
+    oraclesBase + ("kg_align_salted" -> oraclesBase("kg_align"))
 }

@@ -177,15 +177,29 @@ object Canonicalizer {
       linkPairs.foreach { r =>
         union((r.getString(0), r.getString(1)), (r.getString(0), r.getString(2)))
       }
-      // canonical per root: lexicographically smallest REAL surface form
+      // canonical per root: the smallest LINKED dictionary canonical in the
+      // cluster if any (alignment swaps TO the dictionary entity — a
+      // cluster holding a dictionary link must canonicalize to it, never to
+      // a lexically-smaller unlinked surface form such as a tier-2-linked
+      // misspelling); lexicographically smallest real surface form
+      // otherwise.
       val canonOfRoot = scala.collection.mutable.HashMap.empty[(String, String), String]
+      val linkedOfRoot = scala.collection.mutable.HashMap.empty[(String, String), String]
+      linkPairs.foreach { r =>
+        val c = r.getString(2)
+        val root = find((r.getString(0), c))
+        val cur = linkedOfRoot.get(root)
+        if (cur.isEmpty || c < cur.get) linkedOfRoot(root) = c
+      }
       realNames.foreach { v =>
         val root = find(v)
         val cur = canonOfRoot.get(root)
         if (cur.isEmpty || v._2 < cur.get) canonOfRoot(root) = v._2
       }
-      realNames.map(v => (v._1, v._2, canonOfRoot(find(v))))
-        .toSeq.toDF("kind", "name", "canonical_name")
+      realNames.map { v =>
+        val root = find(v)
+        (v._1, v._2, linkedOfRoot.getOrElse(root, canonOfRoot(root)))
+      }.toSeq.toDF("kind", "name", "canonical_name")
     } else distributedCanonicalize(aligned)
   }
 
@@ -215,9 +229,20 @@ object Canonicalizer {
 
     val withComp = vertices.join(comp, Seq("id"), "left")
       .withColumn("component", coalesce(col("component"), col("id")))
+    // prefer-linked canonical selection (must mirror the local path): min
+    // linked dictionary canonical per component if any, min real name else
+    val linkedCanon = aligned.filter(col("obj_linked"))
+      .select(col("obj_kind").as("kind"), col("obj_canonical").as("name"))
+      .distinct()
+      .withColumn("id", nid(col("kind"), col("name")))
+      .join(withComp.select(col("id"), col("component")), Seq("id"))
+      .groupBy(col("component"))
+      .agg(min(col("name")).as("linked_canonical"))
     val canon = withComp.groupBy(col("component"))
       .agg(min(struct(col("name"))).as("c"))
-      .select(col("component"), col("c.name").as("canonical_name"))
+      .join(linkedCanon, Seq("component"), "left")
+      .select(col("component"),
+        coalesce(col("linked_canonical"), col("c.name")).as("canonical_name"))
     val out = withComp.join(canon, "component")
       .select(col("kind"), col("name"), col("canonical_name"))
     vertices.unpersist(false)

@@ -57,9 +57,26 @@ object Hydrator {
       "rank", "strat_name_id", "concept_id", "bed", "mbr", "fm", "gp", "sgp",
       "b_age", "t_age", "b_period", "t_period", "c_interval", "t_units",
       "ref_id", "macrostrat_version")
+    // Rank-suffix alias tier (the loose-match fidelity the REST probe's
+    // substring semantics give the reference, macrostrat.py:87-115): each
+    // record ALSO keys on its long name with a trailing rank word
+    // contracted ("Shakopee Formation" → "Shakopee Fm") and expanded
+    // ("X Fm" → "X Formation"), so abbreviated surface forms hydrate.
+    // Pure expression work at bootstrap; identity variants dedup in
+    // firstHit, and an alias key can never steal an existing exact key
+    // unless it ties it, where first-hit by strat_name_id stays the rule.
+    def suffixSwap(c: Column, pairs: Map[String, String]): Column =
+      pairs.toSeq.sortBy(_._1).foldLeft(c) { case (acc, (from, to)) =>
+        regexp_replace(acc, s"(?i)\\b$from$$", to)
+      }
+    val keyTiers = Seq(
+      col("strat_name"),
+      col("strat_name_long"),
+      suffixSwap(col("strat_name_long"), Rdf.RankContraction),
+      suffixSwap(col("strat_name_long"), Rdf.RankExpansion))
     val stratKeyed = firstHit(
-      stratFields.withColumn("strat_key", col("strat_name"))
-        .unionByName(stratFields.withColumn("strat_key", col("strat_name_long"))),
+      keyTiers.map(k => stratFields.withColumn("strat_key", k))
+        .reduce(_.unionByName(_)),
       "strat_key", "strat_name_id")
       .drop("strat_key")
       .withColumnRenamed("macrostrat_version", "strat_macrostrat_version")

@@ -30,6 +30,13 @@ object KgPipeline {
       microBatch: Int = 200,
       saltedAlign: Boolean = false,
       saltBuckets: Int = 16,
+      // Some(minJaccard) => tier-2 fuzzy alignment (Linker.alignFuzzy):
+      // names tier-1 leaves unlinked get a char-3-gram Jaccard argmax
+      // against the dictionary — the deterministic stand-in for the
+      // reference's sub-normalization embedding matches
+      // (alignment.py:110-119). Off by default: it links strictly more
+      // than normalization equality, so turning it on changes outputs.
+      fuzzyAlignMinJaccard: Option[Double] = None,
       canonicalize: Boolean = true,
       // false => entity space is known-unbounded (open-vocabulary web
       // extraction): go straight to distributed CC, skip the driver probe.
@@ -173,10 +180,12 @@ object KgPipeline {
 
     // J2: alignment — broadcast by default, salted shuffle variant on demand.
     val alias = cfg.prebuiltAlias.getOrElse(Linker.aliasDim(dims))
-    val aligned =
-      (if (cfg.saltedAlign) Linker.alignSalted(parsed, alias, cfg.saltBuckets)
-       else Linker.align(parsed, alias))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val aligned0 =
+      if (cfg.saltedAlign) Linker.alignSalted(parsed, alias, cfg.saltBuckets)
+      else Linker.align(parsed, alias)
+    val aligned = cfg.fuzzyAlignMinJaccard
+      .map(t => Linker.alignFuzzy(aligned0, alias, t)).getOrElse(aligned0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // CC canonicalization over the candidate-pair edges.
     val canonical =

@@ -91,6 +91,81 @@ object Linker {
       .drop("alias_norm", "canonical", "alias_kind", "obj_norm")
   }
 
+  /** Distinct character n-grams of a (normalized) name; names shorter than
+    * `n` contribute themselves as their only gram. Pure expression work —
+    * fuses into the scan, no UDF. */
+  def charGrams(c: Column, n: Int = 3): Column =
+    when(length(c) >= n,
+      array_distinct(transform(sequence(lit(0), length(c) - lit(n)),
+        i => c.substr(i + lit(1), lit(n)))))
+      .otherwise(array(c))
+
+  /** Tier-2 fuzzy alignment (deterministic stand-in for the reference's
+    * sub-normalization embedding matches, alignment.py:110-119: the argmax
+    * cosine over the known-entity list links misspellings like
+    * "Abbey Haed Bed" → "Abbey Head Bed"). Applies ONLY to names tier-1
+    * ([[align]]/[[alignSalted]]) left unlinked:
+    *
+    *   unlinked names × alias dictionary → candidate pairs via a char-3-gram
+    *   equi-join on (kind, gram) — never all-pairs — → Jaccard from shared
+    *   gram counts (|A∩B| / (|A|+|B|−|A∩B|)) → threshold gate at
+    *   `minJaccard` → argmax per name, ties broken by lexical min alias.
+    *
+    * Candidate generation is the same bucketed-equi-join family as the
+    * MinHash-LSH dedup path: each side explodes its distinct grams once and
+    * the join shuffles (kind, gram) keys, so cost scales with gram
+    * postings, not |unlinked|×|dictionary|. At web scale the production
+    * lever is an IDF cap (drop the few highest-frequency grams from
+    * candidate generation — a stop-gram list — before the join); not
+    * applied here because it weakens exact Jaccard semantics, which the
+    * gate oracle pins.
+    *
+    * Output schema equals [[align]]'s: `obj_canonical` swapped and
+    * `obj_linked` set for tier-2 hits, untouched rows pass through. */
+  def alignFuzzy(aligned: DataFrame, alias: DataFrame,
+                 minJaccard: Double = 0.6): DataFrame = {
+    val unlinked = aligned.filter(!col("obj_linked"))
+      .select(col("obj_kind").as("f_kind"), col("obj_name").as("f_name"))
+      .distinct()
+      .withColumn("f_norm", normName(col("f_name")))
+      .withColumn("f_grams", charGrams(col("f_norm")))
+      .withColumn("f_size", size(col("f_grams")))
+    val probe = unlinked.select(col("f_kind"), col("f_name"), col("f_size"),
+      explode(col("f_grams")).as("gram"))
+    val dict = alias
+      .select(col("kind").as("a_kind"), col("alias_norm"), col("canonical"))
+      .withColumn("a_grams", charGrams(col("alias_norm")))
+      .withColumn("a_size", size(col("a_grams")))
+    val build = dict.select(col("a_kind"), col("alias_norm"),
+      col("canonical").as("a_canonical"), col("a_size"),
+      explode(col("a_grams")).as("gram"))
+    // grams are DISTINCT per side, so the pair's row count IS |A∩B|
+    val scored = probe
+      .join(build, probe("gram") === build("gram") &&
+        col("f_kind") === col("a_kind"))
+      .groupBy("f_kind", "f_name", "f_size", "alias_norm", "a_canonical", "a_size")
+      .agg(count(lit(1)).as("gram_inter"))
+      .withColumn("jaccard", col("gram_inter") /
+        (col("f_size") + col("a_size") - col("gram_inter")))
+      .filter(col("jaccard") >= minJaccard)
+    // argmax per unlinked name: max Jaccard, ties to the lexical-min alias
+    // (deterministic, like every first-hit rule in this engine) — one
+    // map-side-combined min(struct) over (−jaccard, alias, canonical)
+    val best = scored
+      .groupBy(col("f_kind"), col("f_name"))
+      .agg(min(struct((-col("jaccard")).as("nj"),
+        col("alias_norm").as("alias_norm"),
+        col("a_canonical").as("a_canonical"))).as("m"))
+      .select(col("f_kind"), col("f_name"), col("m.a_canonical").as("fuzzy_canonical"))
+    aligned
+      .join(best, col("obj_kind") === best("f_kind") &&
+        col("obj_name") === best("f_name") && !col("obj_linked"), "left")
+      .withColumn("obj_canonical",
+        coalesce(when(!col("obj_linked"), col("fuzzy_canonical")), col("obj_canonical")))
+      .withColumn("obj_linked", col("obj_linked") || col("fuzzy_canonical").isNotNull)
+      .drop("f_kind", "f_name", "fuzzy_canonical")
+  }
+
   /** Skew-safe shuffle variant: salt the probe key S ways, replicate the
     * build side S times, join on (key, salt). Identical output to [[align]].
     */

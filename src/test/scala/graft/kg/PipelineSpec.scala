@@ -365,6 +365,61 @@ class KgPipelineSpec extends SparkSpec {
       .select(key.map(col): _*).collect().map(_.toSeq).toSet
     assert(recovered === clean)
   }
+
+  test("tier-2 fuzzy alignment: misspelled unit links + hydrates; off by default") {
+    val text = "The Waldron Shael is exposed near Minnesota."
+    val page = Seq(("https://t/fuzzy",
+      java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+      HtmlText.render(text, "en"), text, "en"))
+      .toDF("url", "warc_ts", "html", "text", "lang")
+    // the client's dictionary knows the misspelling (extraction emits it);
+    // the DIM does not (tier-1 alignment leaves it unlinked)
+    val fuzzClient = Inference.defaultClient(
+      Dims.pinnedStrat.map(_.strat_name).toArray :+ "Waldron Shael",
+      Dims.gazetteer.map(_.name).toArray, Array())
+    val off = KgPipeline.run(spark, page, dims, fuzzClient,
+      KgPipeline.Config(numPartitions = 2)).triples
+      .filter(col("obj_name") === "Waldron Shael").collect().head
+    assert(!off.getAs[Boolean]("obj_linked"))
+    assert(off.getAs[Any]("strat_name_id") == null)
+    val on = KgPipeline.run(spark, page, dims, fuzzClient,
+      KgPipeline.Config(numPartitions = 2,
+        fuzzyAlignMinJaccard = Some(0.6))).triples
+      .filter(col("obj_name") === "Waldron Shael").collect().head
+    // J("waldron shael","waldron shale") = 9/13 ≈ 0.69 ≥ 0.6 → linked, and
+    // the cluster canonicalizes to the DICTIONARY name (prefer-linked
+    // rule), so hydration lands on the pinned Waldron Shale record
+    assert(on.getAs[Boolean]("obj_linked"))
+    assert(on.getAs[String]("obj_final") === "Waldron Shale")
+    assert(on.getAs[Long]("strat_name_id") === 4260L)
+  }
+
+  test("AQE-managed resume anti-join equals the broadcast-hinted path") {
+    val outDir = java.nio.file.Files.createTempDirectory("kgdonedual").toString
+    val pages = Pages.fixtures(spark)
+    val firstHalf = pages.filter(
+      col("url").isin("https://fixtures.graft/sauk", "https://fixtures.graft/gold"))
+    KgPipeline.runAndCommit(spark, firstHalf, dims, client,
+      outDir, KgPipeline.Config(numPartitions = 4))
+    val base = KgPipeline.Config(numPartitions = 4,
+      checkpointDir = Some(s"$outDir/checkpoint"))
+    val hinted = KgPipeline.run(spark, pages, dims, client, base)
+    val aqe = KgPipeline.run(spark, pages, dims, client,
+      base.copy(broadcastDone = false))
+    // hinted path pins one more broadcast (the done-set) than the AQE path,
+    // which carries no hint and lets AQE size the build side — the only
+    // posture that survives a page-cardinality done-set
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    def nHints(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.analyzed.collect { case h: ResolvedHint => h }.size
+    assert(nHints(hinted.triples) === nHints(aqe.triples) + 1)
+    val key = Seq("url", "subj_name", "predicate", "obj_name")
+    val a = hinted.triples.select(key.map(col): _*).collect().map(_.toSeq).toSet
+    val b = aqe.triples.select(key.map(col): _*).collect().map(_.toSeq).toSet
+    assert(a === b)
+    // both resumed runs process exactly the not-yet-done pages
+    assert(!a.exists(_.head == "https://fixtures.graft/sauk"))
+  }
 }
 
 class RdfSpec extends SparkSpec {
