@@ -200,6 +200,41 @@ object KgQueries {
         .select(col("obj_name").as("name"), col("obj_canonical"), col("obj_linked"))
     },
 
+    // The COMPOSED corpus-dedup pipeline gate (Config.dedupMinJaccard):
+    // a 60-doc corpus slice plus exact copies of the first 20 docs runs the
+    // full extract → dedup gate (MinHash-LSH → candidate Jaccard → CC) →
+    // inference pipeline; the client emits one triple per page whose object
+    // is the page's token-SET fingerprint. At threshold 1.0 the duplicate
+    // clusters are exactly the token-set-equality classes (max 30 distinct
+    // tokens/doc ⇒ no non-equal pair can round to 1.0), so the kept
+    // fingerprints and the inference-side drop count are deterministic even
+    // though the per-cluster WINNER (min url-hash) is an engine detail the
+    // oracle never needs to know.
+    "kg_pipeline_dedup" -> { (s, dir) =>
+      import s.implicits._
+      val (dims, prepared, alias) = cachedDims(s)
+      val render = udf((t: String, l: String) => HtmlText.render(t, l))
+      val base = Tables.documents(s, dir).filter(col("doc_id") < 60)
+        .select(col("doc_id"), col("text"), col("lang"))
+      def pagesOf(prefix: String, d: org.apache.spark.sql.DataFrame) =
+        d.select(concat(lit(prefix), col("doc_id")).as("url"),
+          timestamp_seconds(lit(1704067200L) + col("doc_id")).as("warc_ts"),
+          col("text"), col("lang"))
+      val pages = pagesOf("https://synthetic.graft/doc/", base)
+        .unionByName(pagesOf("https://synthetic.graft/dup/",
+          base.filter(col("doc_id") < 20)))
+        .withColumn("html", render(col("text"), col("lang")))
+      val res = KgPipeline.run(s, pages, dims, SetFingerprintClient,
+        KgPipeline.Config(numPartitions = 4, dedupMinJaccard = Some(1.0),
+          canonicalize = false, promptDicts = Some(Seq()),
+          prebuiltAlias = Some(alias), preparedDims = Some(prepared)))
+      val kept = res.triples.select(col("obj_name").as("kept_fp"), lit(1L).as("n"))
+      val drops = res.lineage.filter(col("stage") === "dedup")
+        .agg(coalesce(sum("failed_rows"), lit(0L)).cast("long").as("n"))
+        .select(lit("__dropped__").as("kept_fp"), col("n"))
+      kept.unionByName(drops)
+    },
+
     // CC canonicalization: cluster surface variants, canonical = lexical min
     // of the cluster. Spark runs the real iterative connected-components;
     // the oracle computes the same clusters via the normalized key (exactly
@@ -477,6 +512,20 @@ object KgQueries {
     "CotterDolomite", "PowellDolomite", "SmithvilleFormation",
     "BlackRockFormation", "EvertonFormation", "JasperMember", "SaukSequence")
 
+  /** One-triple-per-page inference client whose object is the page's
+    * token-set fingerprint (sha256 over the sorted distinct tokens): makes
+    * the dedup-gated pipeline's kept set observable content-keyed, so the
+    * oracle never depends on which cluster member the min-url-hash winner
+    * rule picks. Tokenization mirrors graft.ops.Dedup.tokens exactly. */
+  private object SetFingerprintClient extends kg.Inference.InferenceClient {
+    val modelId = "fingerprint-echo-v0"
+    def infer(batch: Seq[kg.Inference.Request]): Seq[String] = batch.map { r =>
+      val fp = kg.Inference.FixtureClient.sha256(
+        r.text.split(" ").filter(_.nonEmpty).distinct.sorted.mkString(" "))
+      s"""{"triplets": [{"location": "PAGE", "relationship": "kept", "stratigraphic_name": "$fp"}]}"""
+    }
+  }
+
   private val oraclesBase: Map[String, String] = Map(
     "kg_pages" ->
       """SELECT 'https://synthetic.graft/doc/' || doc_id AS url,
@@ -563,6 +612,29 @@ object KgQueries {
            ('Waldron Shael', 'Waldron Shale', true),
            ('Waldrop Q', 'Waldrop Q', false)
          ) t(name, obj_canonical, obj_linked)""",
+    // dedup semantics at threshold 1.0 = token-set equality classes: one
+    // kept fingerprint per class, drops = members - classes. Replicates the
+    // gate's tokenization (split on space, drop empties, distinct) exactly;
+    // the recursive-CTE minhash replication is proven by dedup_resolve.
+    "kg_pipeline_dedup" ->
+      """WITH corpus AS (
+           SELECT 'https://synthetic.graft/doc/' || doc_id AS url, text
+           FROM documents WHERE doc_id < 60
+           UNION ALL
+           SELECT 'https://synthetic.graft/dup/' || doc_id AS url, text
+           FROM documents WHERE doc_id < 20),
+         tok AS (
+           SELECT DISTINCT url, tok FROM (
+             SELECT url, unnest(string_split(text, ' ')) AS tok FROM corpus)
+           WHERE tok <> ''),
+         fp AS (
+           SELECT url, sha256(string_agg(tok, ' ' ORDER BY tok)) AS kept_fp
+           FROM tok GROUP BY url),
+         classes AS (SELECT kept_fp, count(*) AS members FROM fp GROUP BY kept_fp)
+         SELECT kept_fp, 1::BIGINT AS n FROM classes
+         UNION ALL
+         SELECT '__dropped__' AS kept_fp,
+           (SELECT sum(members - 1)::BIGINT FROM classes) AS n""",
     "kg_lith_hydrate" -> {
       val lithValues = kg.Dims.pinnedLith
         .map(r => s"('${r.lith}', ${r.lith_id}, '${r.lith_type}', '${r.lith_class}')")
