@@ -155,6 +155,66 @@ object Inference {
     new FixtureClient(FixtureClient.referenceRecordings,
       new HeuristicClient(stratNames, locationNames, mineralNames))
 
+  /** The real-LLM client seam, made concrete (reference model dispatch:
+    * text2graph/llm.py:283-295 routes a model name to an OpenAI- or
+    * vLLM-backed ask function). The transport — one JSON request body in,
+    * one JSON response body out, e.g. an HTTP POST to a vLLM
+    * `/v1/completions` endpoint — is INJECTED, so the engine carries the
+    * full batching/payload/parse/retry logic while staying offline-testable
+    * (this sandbox has zero egress; a deployment passes a real POST).
+    *
+    * Batching: the whole micro-batch ships as ONE payload (`prompts` array
+    * — vLLM's `llm.generate(prompts)` contract, B3), never one call per
+    * row. Retries: `maxRetries` transport attempts per batch (B7's
+    * bounded-retry posture); a batch that exhausts retries maps every
+    * request to an empty raw output — the lenient parse stage records the
+    * failure downstream, mirroring the reference's "NA" placeholders
+    * (chtc/db.py:26-44) instead of failing the Spark task. */
+  final class TransportClient(
+      val modelId: String,
+      transport: String => String,
+      maxRetries: Int = 3) extends InferenceClient {
+    private def esc(s: String): String =
+      s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      }
+    def infer(batch: Seq[Request]): Seq[String] = {
+      val payload = batch.map(r =>
+        "\"" + esc(if (r.prompt.nonEmpty) r.prompt else r.text) + "\"")
+        .mkString(s"""{"model": "${esc(modelId)}", "prompts": [""", ", ", "]}")
+      var attempt = 0
+      var out: Option[Seq[String]] = None
+      while (out.isEmpty && attempt < maxRetries) {
+        attempt += 1
+        out = try {
+          val body = transport(payload)
+          val root = PostProcess.mapper.readTree(body)
+          val arr = root.get("outputs")
+          if (arr == null || !arr.isArray || arr.size != batch.size) None
+          else Some((0 until arr.size).map(i => arr.get(i).asText))
+        } catch { case _: Exception => None }
+      }
+      out.getOrElse(batch.map(_ => ""))
+    }
+  }
+
+  /** Model dispatch (llm.py:283-295): recorded-fixture + heuristic stand-in
+    * by default; any other model id requires a transport to its endpoint. */
+  def clientFor(model: String, transport: Option[String => String],
+                stratNames: Array[String], locationNames: Array[String],
+                mineralNames: Array[String]): InferenceClient =
+    (model, transport) match {
+      case ("graft-heuristic-v1", _) | ("", _) =>
+        defaultClient(stratNames, locationNames, mineralNames)
+      case (m, Some(t)) => new TransportClient(m, t)
+      case (m, None) =>
+        throw new IllegalArgumentException(
+          s"model '$m' needs a transport (no network egress in-engine; " +
+            "inject the endpoint POST)")
+    }
+
   /** Prompt-stage spec: one handler plus the dictionary whose mentions are
     * injected into its system prompt (reference builds one handler per job,
     * text2graph/llm.py:281 `prompt_handler.get_gpt_messages(text)`; our

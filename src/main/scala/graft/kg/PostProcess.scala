@@ -29,7 +29,7 @@ import org.apache.spark.sql.functions._
   */
 object PostProcess {
 
-  @transient private lazy val mapper = new ObjectMapper()
+  @transient private[kg] lazy val mapper = new ObjectMapper()
 
   private val TrailingGarbage = "\\}[^}]*$".r
 

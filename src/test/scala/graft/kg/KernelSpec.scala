@@ -157,4 +157,53 @@ class PostProcessSpec extends AnyFunSuite {
     assert(PostProcess.parseOne("") === Nil)
     assert(PostProcess.parseOne("{\"other\": 1}") === Nil)
   }
+
+  test("TransportClient ships one batched payload, maps outputs in order") {
+    val seen = scala.collection.mutable.ArrayBuffer.empty[String]
+    val c = new Inference.TransportClient("vllm-test", { payload =>
+      seen += payload
+      val n = "\"prompts\"\\s*:\\s*\\[".r.findFirstIn(payload).size
+      assert(n == 1)
+      """{"outputs": ["out-a", "out-b"]}"""
+    })
+    val reqs = Seq(
+      Inference.Request("u1", "h1", "text a", "en", prompt = "p-a"),
+      Inference.Request("u2", "h2", "text \"b\"\nline", "en"))
+    assert(c.infer(reqs) === Seq("out-a", "out-b"))
+    assert(seen.size === 1)                 // one transport call per batch
+    assert(seen.head.contains("p-a"))       // prompt preferred over text
+    assert(seen.head.contains("""text \"b\"\nline""")) // JSON-escaped
+  }
+
+  test("TransportClient retries then degrades to empty outputs (B7)") {
+    var calls = 0
+    val flaky = new Inference.TransportClient("vllm-test", { _ =>
+      calls += 1
+      if (calls < 3) throw new RuntimeException("boom")
+      """{"outputs": ["ok"]}"""
+    }, maxRetries = 3)
+    assert(flaky.infer(Seq(Inference.Request("u", "h", "t", "en"))) === Seq("ok"))
+    assert(calls === 3)
+    // size-mismatched responses count as failures; exhausted retries map
+    // the whole batch to empty raws (lenient parse records it downstream)
+    var calls2 = 0
+    val broken = new Inference.TransportClient("vllm-test", { _ =>
+      calls2 += 1; """{"outputs": ["only-one"]}"""
+    }, maxRetries = 2)
+    val two = Seq(Inference.Request("a", "h", "t", "en"),
+      Inference.Request("b", "h", "t", "en"))
+    assert(broken.infer(two) === Seq("", ""))
+    assert(calls2 === 2)
+  }
+
+  test("clientFor dispatch: heuristic by default, transport required otherwise") {
+    val h = Inference.clientFor("", None, Array("Sauk"), Array("Minnesota"), Array())
+    assert(h.modelId.contains("graft"))
+    val t = Inference.clientFor("mixtral-8x7b", Some(_ => """{"outputs": []}"""),
+      Array(), Array(), Array())
+    assert(t.modelId === "mixtral-8x7b")
+    intercept[IllegalArgumentException] {
+      Inference.clientFor("mixtral-8x7b", None, Array(), Array(), Array())
+    }
+  }
 }
