@@ -114,10 +114,12 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    // corpus sized so the ~3.5 s per-run driver-serial fraction is small
+    // corpus sized so the ~4 s per-run driver-serial fraction is small
     // against the parallel page work (Amdahl analysis in BASELINE.md):
-    // 100k pages ≈ 58 s at the 2-core N level → predicted 4x eff ≈ 0.85.
-    val repl = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPL", "20").toInt
+    // eff_cap = (s+p)/(4(s+p/4)). repl=20 → 100k pages ≈ 60 s N-level →
+    // cap ≈ 0.83 — too close to the ≥0.8 gate to absorb host noise.
+    // repl=28 → 140k pages ≈ 84 s N-level → cap ≈ 0.875.
+    val repl = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPL", "28").toInt
     val amp = sys.env.getOrElse("SPARK_GRAFT_SCALE_AMP", "24").toInt
     // executor size for the scaling phases. 2-core executors mirror the
     // small-executor shape real fleets use AND keep the 4N level (8 busy
@@ -285,15 +287,22 @@ object Bench {
     * in-process thread scaling). */
   def measureDualScaling(sfDir: String, repl: Int, amp: Int,
                          execCores: Int, rounds: Int): Option[String] = {
-    def phase(nExec: Int, cores: Int): Option[(Long, Double, Long)] = {
+    def phase(nExec: Int, cores: Int, r: Int = repl): Option[(Long, Double, Long)] = {
       val procs = (0 until nExec)
-        .flatMap(i => spawnExecutor(s"$cores,$repl,$amp,$i,$nExec"))
+        .flatMap(i => spawnExecutor(s"$cores,$r,$amp,$i,$nExec"))
       if (procs.size != nExec) { procs.foreach(_.destroy()); return None }
       val results = procs.map(readExecResult)
       if (results.exists(_.isEmpty)) return None
       val rs = results.flatten
       Some((rs.map(_._1).sum, rs.map(_._2).max, rs.map(_._3).sum))
     }
+    // Discarded FLEET-SHAPE warmups at repl=1 (each child already JIT-warms
+    // itself, but the session's first multi-JVM spawn and first wide-thread
+    // run pay one-time host costs — page-cache fill, spawn machinery —
+    // that repeatedly showed up as a slow round 1 in the B/C phases while
+    // round-1 A was always in-band; see BASELINE.md round-4).
+    phase(4, execCores, r = 1) match { case Some(_) => (); case None => return None }
+    phase(1, execCores * 4, r = 1) match { case Some(_) => (); case None => return None }
     val a = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Long)]
     val b = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Long)]
     val c = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Long)]
