@@ -198,7 +198,7 @@ object Bench {
     val eff = effRe.findFirstMatchIn(scalingJson).map(_.group(1)).getOrElse("null")
     val slowest = results.toSeq.filter(_._2 >= 0).sortBy(-_._2).take(5)
       .map { case (k, v) => f""""$k":$v%.2f""" }.mkString("{", ",", "}")
-    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","sf":"$sfDir","queries_timed":${results.size},"errors":${errors.size},"scaling_efficiency":$eff,"slowest5":$slowest,"full_json":"bench_full.json"}""")
+    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","sf":"$sfDir","queries_timed":${results.values.count(_ >= 0)},"errors":${errors.size},"scaling_efficiency":$eff,"slowest5":$slowest,"full_json":"bench_full.json"}""")
   }
 
   /** The actual measurement: one discarded warmup run (JIT, automaton

@@ -232,7 +232,14 @@ object KgQueries {
       val drops = res.lineage.filter(col("stage") === "dedup")
         .agg(coalesce(sum("failed_rows"), lit(0L)).cast("long").as("n"))
         .select(lit("__dropped__").as("kept_fp"), col("n"))
-      kept.unionByName(drops)
+      // materialize eagerly (bounded: one row per kept page + one summary
+      // row), then release this run's cached pipeline intermediates — each
+      // invocation builds a fresh pipeline, so without the cleanup a
+      // multi-pass harness (Bench warmup + timed) leaks 4 cached frames
+      // per pass into the shared session
+      val out = kept.unionByName(drops).localCheckpoint(true)
+      res.cleanup()
+      out
     },
 
     // CC canonicalization: cluster surface variants, canonical = lexical min
@@ -630,11 +637,20 @@ object KgQueries {
          fp AS (
            SELECT url, sha256(string_agg(tok, ' ' ORDER BY tok)) AS kept_fp
            FROM tok GROUP BY url),
-         classes AS (SELECT kept_fp, count(*) AS members FROM fp GROUP BY kept_fp)
+         classes AS (SELECT kept_fp, count(*) AS members FROM fp GROUP BY kept_fp),
+         -- token-less (whitespace-only) pages never enter the LSH (no
+         -- tokens => no signature => no candidate pairs), so the engine
+         -- keeps EVERY one of them and the client fingerprints each empty
+         -- token set as sha256('') — one kept row per empty page
+         empties AS (
+           SELECT c.url FROM corpus c LEFT JOIN tok ON tok.url = c.url
+           WHERE tok.url IS NULL)
          SELECT kept_fp, 1::BIGINT AS n FROM classes
          UNION ALL
+         SELECT sha256('') AS kept_fp, 1::BIGINT AS n FROM empties
+         UNION ALL
          SELECT '__dropped__' AS kept_fp,
-           (SELECT sum(members - 1)::BIGINT FROM classes) AS n""",
+           (SELECT coalesce(sum(members - 1), 0)::BIGINT FROM classes) AS n""",
     "kg_lith_hydrate" -> {
       val lithValues = kg.Dims.pinnedLith
         .map(r => s"('${r.lith}', ${r.lith_id}, '${r.lith_type}', '${r.lith_class}')")

@@ -243,8 +243,16 @@ object Canonicalizer {
       .join(linkedCanon, Seq("component"), "left")
       .select(col("component"),
         coalesce(col("linked_canonical"), col("c.name")).as("canonical_name"))
+    // Materialize BEFORE releasing the vertices cache: the returned plan
+    // references withComp (hence the vertices distinct over the full
+    // aligned frame) three times — canon's groupBy, the linkedCanon join
+    // and the final join — and the caller evaluates it lazily; an eager
+    // unpersist under a lazy return would recompute the distinct per
+    // consumer. localCheckpoint pins the (entity-space-bounded) result and
+    // truncates the lineage, then the cache can go.
     val out = withComp.join(canon, "component")
       .select(col("kind"), col("name"), col("canonical_name"))
+      .localCheckpoint(true)
     vertices.unpersist(false)
     out
   }

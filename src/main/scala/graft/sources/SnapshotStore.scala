@@ -188,20 +188,25 @@ object SnapshotStore {
             s.getModificationTime < cutoff)
           doomed += s.getPath
       }
-      doomed.foreach(p => if (f.delete(p, false)) dDel += 1)
-      // sweep now-empty stage directories (deepest first): every commit
-      // attempt creates a writer-unique stage/v<N>-<token> dir, so without
-      // this the empty dirs accumulate forever. Same grace cutoff — a
-      // concurrent writer's freshly-made (still empty) stage dir survives.
-      val dirs = scala.collection.mutable.ArrayBuffer.empty[Path]
+      // Record stage-dir mtimes BEFORE deleting files: removing a dir's
+      // entries bumps its mtime to "now", so a post-deletion mtime check
+      // would always fail the grace cutoff and the emptied dirs would
+      // survive every sweep. The pre-sweep mtime is the honest age signal.
+      val dirAge = scala.collection.mutable.LinkedHashMap.empty[Path, Long]
       def walk(p: Path): Unit =
         f.listStatus(p).foreach { s =>
-          if (s.isDirectory) { walk(s.getPath); dirs += s.getPath }
+          // deepest-first: children recorded (and later deleted) before
+          // their parents, so an emptied parent is seen empty in its turn
+          if (s.isDirectory) { walk(s.getPath); dirAge(s.getPath) = s.getModificationTime }
         }
       walk(stage)
-      dirs.foreach { p =>
-        val st = f.getFileStatus(p)
-        if (f.listStatus(p).isEmpty && st.getModificationTime < cutoff)
+      doomed.foreach(p => if (f.delete(p, false)) dDel += 1)
+      // sweep now-empty stage directories: every commit attempt creates a
+      // writer-unique stage/v<N>-<token> dir, so without this the empty
+      // dirs accumulate forever. Same grace cutoff on the PRE-sweep mtime —
+      // a concurrent writer's freshly-made (still empty) stage dir survives.
+      dirAge.foreach { case (p, mtime) =>
+        if (mtime < cutoff && f.exists(p) && f.listStatus(p).isEmpty)
           f.delete(p, false)
       }
     }
