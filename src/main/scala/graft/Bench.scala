@@ -334,19 +334,26 @@ object Bench {
     val pairExec = pairEffs(b.toSeq)
     val pairThreads = pairEffs(c.toSeq)
     def arr(xs: Seq[Double]) = xs.map(x => f"$x%.3f").mkString("[", ",", "]")
-    // Headline = the better of the two modes' BEST-PAIR estimators: each
-    // round's N and 4N ran back-to-back, so their ratio cancels slow host
-    // drift — a defensible per-mode statistic, unlike a max over all four
-    // estimators, which systematically biases a noisy measurement upward.
-    // The cross-estimator max is still reported, clearly labelled as an
-    // upper bound only.
-    val eff = math.max(pairExec.max, pairThreads.max)
+    // Headline = max over the two modes of min(best-pair, best-level).
+    // Rationale: the best-PAIR estimator assumes host drift is equal
+    // within a round (N and 4N ran back-to-back) — with the fleet-shape
+    // warmups that assumption measurably broke (a throttled round-1 N
+    // against an unthrottled round-1 4N produced a >1.0 "efficiency" in
+    // validation — superlinear on one box is an artifact, not a result).
+    // The best-LEVEL estimator (fastest run per level across rounds) is
+    // robust to that failure but blind to monotone drift; taking the
+    // per-mode MIN of the two is conservative against both failure modes
+    // and can never exceed either estimator. The cross-estimator max is
+    // still reported, clearly labelled as an upper bound only.
+    val eff = math.max(
+      math.min(pairExec.max, effExec),
+      math.min(pairThreads.max, effThreads))
     val upper = Seq(effExec, effThreads, pairExec.max, pairThreads.max).max
     Some(f"""{"mode":"dual","executor_cores":$execCores,"pages":$pagesN,"triples":$triplesB,"rounds":$rounds,""" +
       f""""secs_n":$secsN%.2f,"pages_per_sec_n":$tputN%.1f,"runs_n":${runs(a.toSeq)},""" +
       f""""executor_jvms":{"executors_4n":4,"secs_4n":$secsB%.2f,"pages_per_sec_4n":$tputB%.1f,"runs_4n":${runs(b.toSeq)},"efficiency":$effExec%.3f,"round_pair_efficiencies":${arr(pairExec)}},""" +
       f""""fresh_jvm_threads":{"cores_4n":${execCores * 4},"secs_4n":$secsC%.2f,"pages_per_sec_4n":$tputC%.1f,"runs_4n":${runs(c.toSeq)},"efficiency":$effThreads%.3f,"round_pair_efficiencies":${arr(pairThreads)}},""" +
       f""""scaling_efficiency":$eff%.3f,"scaling_efficiency_upper_bound":$upper%.3f,""" +
-      """"methodology":"phases interleaved per round: A(1 JVM x N cores, full input), B(4 JVMs x N cores, disjoint quarter shards, fleet time = slowest), C(1 JVM x 4N cores, full input); fresh child JVM per measurement, bootstrap excluded from timed region; efficiency = (tput_4N/tput_N)/4; headline = best adjacent-pair estimator per mode, max over the two modes (adjacent pairs ran back-to-back so the ratio cancels host drift); the cross-estimator max is reported separately as an upper bound; both single-machine proxies UNDER-estimate multi-node fleet scaling (4N real executors add 4x memory channels; this box shares one — see BASELINE.md)"}""")
+      """"methodology":"phases interleaved per round: A(1 JVM x N cores, full input), B(4 JVMs x N cores, disjoint quarter shards, fleet time = slowest), C(1 JVM x 4N cores, full input); fresh child JVM per measurement, bootstrap excluded from timed region; efficiency = (tput_4N/tput_N)/4; headline = per mode min(best adjacent-pair, best-level), max over the two modes — adjacent pairs cancel slow drift, best-level is robust to a throttled same-round partner, the min is conservative against both failure modes; the cross-estimator max is reported separately as an upper bound; both single-machine proxies UNDER-estimate multi-node fleet scaling (4N real executors add 4x memory channels; this box shares one — see BASELINE.md)"}""")
   }
 }
