@@ -191,14 +191,22 @@ object Bench {
     // tail-parsing harness sees only a truncated fragment. Persist the full
     // JSON to a file AND print one SHORT final line that always fits intact
     // in the tail (headline numbers + slowest-5 queries).
-    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
-      (full + "\n").getBytes("UTF-8"))
-    catch { case _: Exception => () }
+    // Advertise the file only if the write actually succeeded, and by the
+    // absolute path it landed at — a harness reading "bench_full.json" as
+    // current after a failed/misdirected write would see stale data.
+    val fullJsonPath: Option[String] =
+      try {
+        val p = java.nio.file.Files.write(
+          java.nio.file.Paths.get("bench_full.json"),
+          (full + "\n").getBytes("UTF-8"))
+        Some(p.toAbsolutePath.toString)
+      } catch { case _: Exception => None }
     val effRe = """"scaling_efficiency":([0-9.]+)""".r
     val eff = effRe.findFirstMatchIn(scalingJson).map(_.group(1)).getOrElse("null")
     val slowest = results.toSeq.filter(_._2 >= 0).sortBy(-_._2).take(5)
       .map { case (k, v) => f""""$k":$v%.2f""" }.mkString("{", ",", "}")
-    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","sf":"$sfDir","queries_timed":${results.values.count(_ >= 0)},"errors":${errors.size},"scaling_efficiency":$eff,"slowest5":$slowest,"full_json":"bench_full.json"}""")
+    val fullJson = fullJsonPath.map("\"" + _ + "\"").getOrElse("null")
+    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","sf":"$sfDir","queries_timed":${results.values.count(_ >= 0)},"errors":${errors.size},"scaling_efficiency":$eff,"slowest5":$slowest,"full_json":$fullJson}""")
   }
 
   /** The actual measurement: one discarded warmup run (JIT, automaton

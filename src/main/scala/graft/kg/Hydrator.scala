@@ -22,9 +22,18 @@ import org.apache.spark.sql.expressions.Window
   */
 object Hydrator {
 
-  /** Dedupe a dim on its normalized join key, first-hit by priority id. */
+  /** Dedupe a dim on its normalized join key, first-hit by priority id.
+    * When the input carries a `key_tier` column (the strat alias tiers:
+    * 0 = exact short name, 1 = exact long name, 2/3 = rank-suffix aliases),
+    * the window orders by (tier, priority, key) so a derived alias key can
+    * NEVER displace an exact name that normalizes to the same key — it only
+    * fills keys no exact name owns. Without the column the order is the
+    * plain (priority, key) the single-tier dims use. */
   private def firstHit(dim: DataFrame, key: String, prio: String): DataFrame = {
-    val w = Window.partitionBy(col("join_norm")).orderBy(col(prio), col(key))
+    val order =
+      if (dim.columns.contains("key_tier")) Seq(col("key_tier"), col(prio), col(key))
+      else Seq(col(prio), col(key))
+    val w = Window.partitionBy(col("join_norm")).orderBy(order: _*)
     dim.withColumn("join_norm", Linker.normName(col(key)))
       .withColumn("fh_rn", row_number().over(w))
       .filter(col("fh_rn") === 1)
@@ -63,8 +72,10 @@ object Hydrator {
     // contracted ("Shakopee Formation" → "Shakopee Fm") and expanded
     // ("X Fm" → "X Formation"), so abbreviated surface forms hydrate.
     // Pure expression work at bootstrap; identity variants dedup in
-    // firstHit, and an alias key can never steal an existing exact key
-    // unless it ties it, where first-hit by strat_name_id stays the rule.
+    // firstHit, where the key_tier column guarantees a derived alias key
+    // can never displace an exact strat_name/strat_name_long key that
+    // normalizes the same — ties within a tier stay first-hit by
+    // strat_name_id.
     def suffixSwap(c: Column, pairs: Map[String, String]): Column =
       pairs.toSeq.sortBy(_._1).foldLeft(c) { case (acc, (from, to)) =>
         regexp_replace(acc, s"(?i)\\b$from$$", to)
@@ -75,10 +86,11 @@ object Hydrator {
       suffixSwap(col("strat_name_long"), Rdf.RankContraction),
       suffixSwap(col("strat_name_long"), Rdf.RankExpansion))
     val stratKeyed = firstHit(
-      keyTiers.map(k => stratFields.withColumn("strat_key", k))
-        .reduce(_.unionByName(_)),
+      keyTiers.zipWithIndex.map { case (k, tier) =>
+        stratFields.withColumn("strat_key", k).withColumn("key_tier", lit(tier))
+      }.reduce(_.unionByName(_)),
       "strat_key", "strat_name_id")
-      .drop("strat_key")
+      .drop("strat_key", "key_tier")
       .withColumnRenamed("macrostrat_version", "strat_macrostrat_version")
 
     // USGS-exclusive minerals are pre-merged into the mineral lookup as

@@ -184,17 +184,29 @@ object Inference {
       val payload = batch.map(r =>
         "\"" + esc(if (r.prompt.nonEmpty) r.prompt else r.text) + "\"")
         .mkString(s"""{"model": "${esc(modelId)}", "prompts": [""", ", ", "]}")
+      // Retries heal TRANSPORT faults only (the POST threw: timeout, reset,
+      // 5xx surfaced as an exception). A response that arrived but violates
+      // the contract — unparseable body, missing/short/long `outputs` — is
+      // deterministic given the same payload: re-sending cannot heal it and
+      // against a paid endpoint would bill the batch maxRetries times, so
+      // it degrades to empty raws after ONE attempt.
       var attempt = 0
       var out: Option[Seq[String]] = None
-      while (out.isEmpty && attempt < maxRetries) {
+      var contractViolation = false
+      while (out.isEmpty && !contractViolation && attempt < maxRetries) {
         attempt += 1
-        out = try {
+        try {
           val body = transport(payload)
-          val root = PostProcess.mapper.readTree(body)
-          val arr = root.get("outputs")
-          if (arr == null || !arr.isArray || arr.size != batch.size) None
-          else Some((0 until arr.size).map(i => arr.get(i).asText))
-        } catch { case _: Exception => None }
+          val parsed =
+            try {
+              val root = PostProcess.mapper.readTree(body)
+              val arr = root.get("outputs")
+              if (arr == null || !arr.isArray || arr.size != batch.size) None
+              else Some((0 until arr.size).map(i => arr.get(i).asText))
+            } catch { case _: Exception => None }
+          if (parsed.isEmpty) contractViolation = true
+          out = parsed
+        } catch { case _: Exception => () } // transport fault: retry
       }
       out.getOrElse(batch.map(_ => ""))
     }

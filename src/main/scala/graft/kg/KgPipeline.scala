@@ -74,6 +74,14 @@ object KgPipeline {
       triples: DataFrame,
       lineage: DataFrame,
       rdf: Option[Dataset[Model.RdfTriple]],
+      // Urls whose page failed the infer or parse stage (empty raw after
+      // retry exhaustion, or unsalvageable model output) — the per-doc
+      // failure state the reference keeps as "NA" placeholder rows
+      // (chtc/preprocess_extraction_direct.py:99-110). The commit entry
+      // points EXCLUDE these from the done-set, so a failed page is
+      // re-driven by the next run instead of being silently marked done
+      // with zero triples.
+      failedUrls: DataFrame,
       // Unpersists this run's cached intermediates (dedup marks, parsed,
       // aligned). Call AFTER all outputs have materialized — a long-lived
       // session (e.g. one SparkSession serving many runs) leaks the cached
@@ -168,15 +176,17 @@ object KgPipeline {
         .collect().map(_.getString(0))))
     val raw = Inference.run(extracted, client, cfg.microBatch, prompting)
 
-    // P3/P4/P5: lenient parse → validated triples. PERSISTED: this is the
-    // pipeline's stage boundary — canonicalization iterates over it and
-    // hydration + lineage + sinks each trigger their own action; without a
-    // persist every action would re-run extract+inference+parse from the
-    // scan (the reference commits exactly this intermediate to its cache
-    // table, chtc/db.py:56-66). Disk-backed so it degrades gracefully when
-    // the triple set outgrows executor memory at scale.
-    val parsed = PostProcess.triplesDf(raw.toDF())
+    // P3/P4/P5: lenient parse → validated triples. The PRE-explode frame is
+    // the persisted stage boundary — the downstream triple chain explodes
+    // it, and the infer/parse failure bookkeeping (lineage stages +
+    // Result.failedUrls) reads its parse_status column, all off one cache;
+    // without a persist every action would re-run extract+inference+parse
+    // from the scan (the reference commits exactly this intermediate to its
+    // cache table, chtc/db.py:56-66). Disk-backed so it degrades gracefully
+    // when the raw set outgrows executor memory at scale.
+    val rawParsed = PostProcess.withParsed(raw.toDF())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val parsed = PostProcess.explodeParsed(rawParsed)
 
     // J2: alignment — broadcast by default, salted shuffle variant on demand.
     val alias = cfg.prebuiltAlias.getOrElse(Linker.aliasDim(dims))
@@ -207,21 +217,52 @@ object KgPipeline {
            sum(when(col("extract_ok"), 0L).otherwise(1L)).as("failed_rows"))
       .withColumn("stage", lit("extract"))
       .withColumn("output_rows", col("input_rows") - col("failed_rows"))
+    // Infer + parse failure stages (the reference's per-doc "NA" failure
+    // bookkeeping, preprocess_extraction_direct.py:99-110): ONE aggregation
+    // over the persisted pre-explode frame yields both stage rows — a page
+    // with an empty raw failed `infer` (retry exhaustion is deterministic
+    // downstream of TransportClient's empty-raw degradation); a page whose
+    // non-empty raw yields no triplet list failed `parse`. A
+    // legitimately-empty page (valid JSON, zero triplets) fails neither —
+    // the distinction the raw-count bookkeeping alone cannot make.
+    val inferParse = rawParsed
+      .groupBy(spark_partition_id().as("partition_id"))
+      .agg(count(lit(1)).as("n_in"),
+        sum(when(col("parse_status") === PostProcess.StatusInferFailed, 1L)
+          .otherwise(0L)).as("n_infer_failed"),
+        sum(when(col("parse_status") === PostProcess.StatusParseFailed, 1L)
+          .otherwise(0L)).as("n_parse_failed"))
+    val inferStats = inferParse.select(
+      lit("infer").as("stage"), col("partition_id"),
+      col("n_in").as("input_rows"),
+      (col("n_in") - col("n_infer_failed")).as("output_rows"),
+      col("n_infer_failed").as("failed_rows"))
+    val parseStats = inferParse.select(
+      lit("parse").as("stage"), col("partition_id"),
+      (col("n_in") - col("n_infer_failed")).as("input_rows"),
+      (col("n_in") - col("n_infer_failed") - col("n_parse_failed")).as("output_rows"),
+      col("n_parse_failed").as("failed_rows"))
     val tripleStats = triples
       .groupBy(spark_partition_id().as("partition_id"))
       .agg(count(lit(1)).as("output_rows"))
       .withColumn("stage", lit("triples"))
       .withColumn("input_rows", lit(null).cast("long"))
       .withColumn("failed_rows", lit(0L))
-    val lineage = dedupStats.foldLeft(pageStats.unionByName(tripleStats))(
+    val lineage = dedupStats.foldLeft(
+        pageStats.unionByName(inferStats).unionByName(parseStats)
+          .unionByName(tripleStats))(
         (acc, d) => acc.unionByName(d))
       .withColumn("job_start", lit(cfg.jobStart))
       .select("stage", "partition_id", "input_rows", "output_rows",
               "failed_rows", "job_start")
 
+    val failedUrls = rawParsed
+      .filter(col("parse_status") =!= PostProcess.StatusOk)
+      .select("url")
+
     val rdf = if (cfg.emitRdf) Some(Rdf.fromHydrated(hydrated, dims)) else None
-    val cached = dedupCached :+ parsed :+ aligned
-    Result(triples, lineage, rdf,
+    val cached = dedupCached :+ rawParsed :+ aligned
+    Result(triples, lineage, rdf, failedUrls,
       () => cached.foreach(_.unpersist(blocking = false)))
   }
 
@@ -243,13 +284,18 @@ object KgPipeline {
     res.rdf.foreach(_.write.mode("append").parquet(s"$outDir/rdf"))
     // commit the done-set last: urls become "done" only after data landed;
     // append only NEWLY processed urls so the checkpoint table doesn't
-    // accumulate duplicates across resumed runs
+    // accumulate duplicates across resumed runs. Urls that FAILED infer or
+    // parse this run are excluded — they stay not-done, so the next run's
+    // resume anti-join re-drives them (the reference's re-drivable "NA"
+    // placeholder semantics; with a deterministic client they fail again,
+    // with a healed transport they heal).
     val newUrls =
       if (fsExists(spark, s"$outDir/checkpoint/done")) {
         val done = spark.read.parquet(s"$outDir/checkpoint/done").select("url")
         pages.select("url").join(doneSide(done, cfg), Seq("url"), "left_anti")
       } else pages.select("url")
-    newUrls.write.mode("append").parquet(s"$outDir/checkpoint/done")
+    newUrls.join(doneSide(res.failedUrls, cfg), Seq("url"), "left_anti")
+      .write.mode("append").parquet(s"$outDir/checkpoint/done")
     res.cleanup()
   }
 
@@ -272,10 +318,14 @@ object KgPipeline {
     val res = run(spark, todo, dims, client, cfg)
     val triples = res.triples
       .withColumn("url_bucket", pmod(xxhash64(col("url")), lit(64)))
+    // failed-url exclusion: same re-drivable semantics as runAndCommit —
+    // the snapshot's done table never claims a page whose infer/parse
+    // failed this run.
     val snap = SnapshotStore.commit(spark, tableDir, Map(
       "triples" -> triples,
       "lineage" -> res.lineage,
-      "done" -> todo.select("url")))
+      "done" -> todo.select("url")
+        .join(doneSide(res.failedUrls, cfg), Seq("url"), "left_anti")))
     res.cleanup()
     snap
   }

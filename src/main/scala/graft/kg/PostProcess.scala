@@ -52,9 +52,29 @@ object PostProcess {
     } else None
   }
 
-  /** Lenient parse of one raw output. Returns Nil on unparseable input
-    * (the reference logs and returns an empty GraphOutput). */
-  def parseOne(raw: String): Seq[ParsedTriplet] = {
+  /** Per-page parse outcome — the lineage discriminator (SURVEY B7; the
+    * reference's failure bookkeeping re-adds failed documents as "NA"
+    * placeholder rows, chtc/preprocess_extraction_direct.py:99-110, so
+    * per-doc failure state survives into the store):
+    *  - [[StatusOk]]: raw parsed to a triplet list — possibly empty, which
+    *    is a LEGITIMATELY empty page, not a failure;
+    *  - [[StatusInferFailed]]: empty raw — the TransportClient
+    *    retry-exhaustion degradation (Inference.scala) or a client that
+    *    produced nothing;
+    *  - [[StatusParseFailed]]: non-empty raw that yields no triplet list
+    *    even after the lenient cleanup — model output the pipeline cannot
+    *    salvage. */
+  val StatusOk = 0
+  val StatusInferFailed = 1
+  val StatusParseFailed = 2
+
+  final case class ParsedPage(parse_status: Int, triplets: Seq[ParsedTriplet])
+
+  /** Lenient parse of one raw output, with the failure discriminator.
+    * Single JSON parse per row — status and triplets come from the same
+    * tree walk. */
+  def parsePage(raw: String): ParsedPage = {
+    if (raw == null || raw.trim.isEmpty) return ParsedPage(StatusInferFailed, Nil)
     // Parse as-is first (the API path does no cleanup, llm.py:209); only on
     // failure apply the vllm cleanup + trailing-garbage repair (the chtc
     // path) — applying the `\}[^}]*$` rewrite to a valid bare list would
@@ -65,13 +85,13 @@ object PostProcess {
         try Option(mapper.readTree(clean(raw))) catch { case _: Exception => None }
       }.orNull
     }
-    if (root == null) return Nil
+    if (root == null) return ParsedPage(StatusParseFailed, Nil)
     // bare list → wrap (reference: text2graph/llm.py:211-213)
     val triplets =
       if (root.isArray) root
       else if (root.has("triplets") && root.get("triplets").isArray) root.get("triplets")
-      else return Nil
-    (0 until triplets.size).flatMap { i =>
+      else return ParsedPage(StatusParseFailed, Nil)
+    val parsed = (0 until triplets.size).flatMap { i =>
       val t = triplets.get(i)
       if (!t.isObject) None // element-level drop (llm.py:222-228)
       else {
@@ -91,7 +111,12 @@ object PostProcess {
         }
       }
     }
+    ParsedPage(StatusOk, parsed)
   }
+
+  /** Lenient parse of one raw output. Returns Nil on unparseable input
+    * (the reference logs and returns an empty GraphOutput). */
+  def parseOne(raw: String): Seq[ParsedTriplet] = parsePage(raw).triplets
 
   /** RawExtraction rows → exploded validated [[Model.Triple]] rows. */
   def triples(raw: Dataset[Model.RawExtraction]): Dataset[Model.Triple] = {
@@ -106,17 +131,31 @@ object PostProcess {
     }
   }
 
-  /** DataFrame variant keeping extra columns: explodes parsed triplets.
-    * The UDF returns the ParsedTriplet case class so the exploded struct
-    * carries named fields in the plan. */
-  private val parseUdf = udf((raw: String) => parseOne(raw))
+  /** DataFrame variants keeping extra columns. The UDF returns the
+    * ParsedPage case class so the plan carries a named (parse_status,
+    * triplets) struct — one JSON parse per row yields both the failure
+    * discriminator and the triplet array. */
+  private val parseUdf = udf((raw: String) => parsePage(raw))
 
-  def triplesDf(raw: DataFrame): DataFrame = {
-    val pv = if (raw.columns.contains("prompt_version")) col("prompt_version")
+  /** Pre-explode stage: raw frame + `parsed` triplet array + `parse_status`.
+    * This is what the pipeline persists as its stage boundary — failure
+    * bookkeeping (lineage infer/parse stages, Result.failedUrls) reads the
+    * statuses while the triples path explodes `parsed`, off one cache. */
+  def withParsed(raw: DataFrame): DataFrame =
+    raw.withColumn("pp", parseUdf(col("raw")))
+      .withColumn("parse_status", col("pp.parse_status"))
+      .withColumn("parsed", col("pp.triplets"))
+      .drop("pp")
+
+  /** Explode a [[withParsed]] frame into validated per-triplet rows. */
+  def explodeParsed(rawParsed: DataFrame): DataFrame = {
+    val pv = if (rawParsed.columns.contains("prompt_version")) col("prompt_version")
              else lit("").as("prompt_version")
-    raw.withColumn("t", explode(parseUdf(col("raw"))))
+    rawParsed.withColumn("t", explode(col("parsed")))
       .select(col("url"), col("hashed_text"), col("model_id"), pv,
         col("t.location").as("subj_name"), col("t.relationship").as("predicate"),
         col("t.obj_name").as("obj_name"), col("t.obj_kind").as("obj_kind"))
   }
+
+  def triplesDf(raw: DataFrame): DataFrame = explodeParsed(withParsed(raw))
 }

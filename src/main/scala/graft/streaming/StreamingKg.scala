@@ -49,16 +49,29 @@ object StreamingKg {
       .dropDuplicatesWithinWatermark("hashed_text")
 
   /** Streaming triple extraction: extract → [exact-dedup gate] →
-    * prompt-build → infer → parse → align. Identical per-row semantics to
-    * the batch pipeline (same functions, including the prompt stage —
-    * stateless, so it streams). `dedupWatermark = Some(horizon)` inserts
-    * [[dedupPagesStream]] between extraction and inference — the streaming
-    * counterpart of the batch `Config.dedupMinJaccard` gate, so re-fetched
-    * identical pages never reach the model. */
+    * prompt-build → infer → parse → align → hydrate. Identical per-row
+    * semantics to the batch pipeline (same functions, including the prompt
+    * stage — stateless, so it streams). `dedupWatermark = Some(horizon)`
+    * inserts [[dedupPagesStream]] between extraction and inference — the
+    * streaming counterpart of the batch `Config.dedupMinJaccard` gate, so
+    * re-fetched identical pages never reach the model.
+    *
+    * Hydration is the batch pipeline's `Hydrator.hydratePrepared` verbatim
+    * — stateless broadcast left joins against the prepared dim snapshot
+    * (the window-dedup key build happens once, batch-side, before the
+    * query starts), so the streamed output unit is the HYDRATED triplet
+    * with the batch pipeline's exact `KgPipeline.TripleColumns` schema
+    * (the reference's output unit is always the hydrated triplet,
+    * text2graph/schema.py:441-447). The one batch-only step remaining is
+    * global canonicalization, which is inherently cross-batch and runs in
+    * [[compactCanonicalize]]; until then `obj_final = obj_canonical`, the
+    * same rule as the batch `canonicalize = false` path. */
   def triplesStream(pages: DataFrame, dims: Dims.Snapshot,
                     client: Inference.InferenceClient,
                     microBatch: Int = 200,
-                    dedupWatermark: Option[String] = None): DataFrame = {
+                    dedupWatermark: Option[String] = None,
+                    jobStart: java.sql.Timestamp =
+                      java.sql.Timestamp.valueOf("2024-06-01 00:00:00")): DataFrame = {
     val prompting: Seq[Inference.HandlerDict] = Seq(
       Prompts.StratV3 -> dims.stratDim.select("strat_name")
         .collect().map(_.getString(0)),
@@ -71,7 +84,11 @@ object StreamingKg {
       .map(w => dedupPagesStream(extracted0, w)).getOrElse(extracted0)
     val raw = Inference.run(extracted, client, microBatch, prompting)
     val parsed = PostProcess.triplesDf(raw.toDF())
-    Linker.align(parsed, Linker.aliasDim(dims))
+    val aligned = Linker.align(parsed, Linker.aliasDim(dims))
+      .withColumn("obj_final", col("obj_canonical"))
+      .withColumn("entity_cluster_id", xxhash64(col("obj_kind"), col("obj_canonical")))
+    Hydrator.hydratePrepared(aligned, Hydrator.prepare(dims), jobStart)
+      .select(KgPipeline.TripleColumns.map(col): _*)
   }
 
   /** Exactly-once micro-batch commit into the snapshot store: a restarted
@@ -108,7 +125,18 @@ object StreamingKg {
     * as a replace-mode snapshot (readers of older versions still see the
     * uncompacted files — time travel). Returns the new version, None when
     * the store has no triples yet. */
-  def compactCanonicalize(spark: SparkSession, dir: String): Option[Int] = {
+  /** @param dims when supplied, rows are RE-hydrated after
+    *        canonicalization: a row whose obj_final moved to a new cluster
+    *        canonical carries hydration columns joined on the OLD name —
+    *        re-running the (stateless, broadcast) hydration joins on the
+    *        compacted names brings the dim columns back in line with the
+    *        batch pipeline's canonicalize-then-hydrate order. Omitted, the
+    *        hydration columns pass through unchanged (pure-canonicalize
+    *        compaction). */
+  def compactCanonicalize(spark: SparkSession, dir: String,
+                          dims: Option[Dims.Snapshot] = None,
+                          jobStart: java.sql.Timestamp =
+                            java.sql.Timestamp.valueOf("2024-06-01 00:00:00")): Option[Int] = {
     import graft.sources.SnapshotStore
     SnapshotStore.read(spark, dir, "triples").map { triples =>
       // Schema-stable rewrite: canonicalization's improvement folds into
@@ -116,7 +144,18 @@ object StreamingKg {
       // column set — later micro-batches append the same schema, so
       // SnapshotStore.read never sees a mixed-schema file list. Folding is
       // idempotent: re-canonicalizing already-canonical values is a no-op.
-      val compacted = Canonicalizer(triples)
+      val canonicalized = Canonicalizer(triples)
+      val rehydrated = dims match {
+        case Some(d) =>
+          val core = Seq("url", "hashed_text", "model_id", "prompt_version",
+            "subj_name", "predicate", "obj_name", "obj_kind", "obj_canonical",
+            "obj_linked", "obj_final", "entity_cluster_id")
+            .filter(canonicalized.columns.contains)
+          Hydrator.hydratePrepared(
+            canonicalized.select(core.map(col): _*), Hydrator.prepare(d), jobStart)
+        case None => canonicalized
+      }
+      val compacted = rehydrated
         .withColumn("obj_canonical", col("obj_final"))
         .select(triples.columns.map(col): _*)
       // commitReplace carries the prior snapshot's meta forward internally —

@@ -184,16 +184,32 @@ class PostProcessSpec extends AnyFunSuite {
     }, maxRetries = 3)
     assert(flaky.infer(Seq(Inference.Request("u", "h", "t", "en"))) === Seq("ok"))
     assert(calls === 3)
-    // size-mismatched responses count as failures; exhausted retries map
-    // the whole batch to empty raws (lenient parse records it downstream)
+    // a size-mismatched (contract-violating) response is DETERMINISTIC
+    // given the same payload: it fails fast to the empty-raw degradation
+    // after ONE attempt — retrying would bill an LLM endpoint maxRetries
+    // times for the same wrong answer (ADVICE round 4)
     var calls2 = 0
     val broken = new Inference.TransportClient("vllm-test", { _ =>
       calls2 += 1; """{"outputs": ["only-one"]}"""
-    }, maxRetries = 2)
+    }, maxRetries = 3)
     val two = Seq(Inference.Request("a", "h", "t", "en"),
       Inference.Request("b", "h", "t", "en"))
     assert(broken.infer(two) === Seq("", ""))
-    assert(calls2 === 2)
+    assert(calls2 === 1)
+    // an unparseable body is a contract violation too: one attempt only
+    var calls3 = 0
+    val garbled = new Inference.TransportClient("vllm-test", { _ =>
+      calls3 += 1; "<html>502 Bad Gateway</html>"
+    }, maxRetries = 3)
+    assert(garbled.infer(two) === Seq("", ""))
+    assert(calls3 === 1)
+    // pure transport faults (the POST threw) exhaust all retries
+    var calls4 = 0
+    val down = new Inference.TransportClient("vllm-test", { _ =>
+      calls4 += 1; throw new RuntimeException("connection refused")
+    }, maxRetries = 3)
+    assert(down.infer(two) === Seq("", ""))
+    assert(calls4 === 3)
   }
 
   test("clientFor dispatch: heuristic by default, transport required otherwise") {

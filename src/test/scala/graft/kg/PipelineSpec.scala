@@ -126,6 +126,23 @@ object PromptCapture {
   }
 }
 
+/** JVM-shared failure toggle + deterministic per-url failing client for the
+  * NA-semantics tests (local-mode tasks share the JVM, like PromptCapture).
+  */
+object HealToggle {
+  @volatile var healed = false
+  final class HealingClient extends Inference.InferenceClient {
+    val modelId = "healing-v0"
+    def infer(batch: Seq[Inference.Request]): Seq[String] = batch.map { r =>
+      if (!HealToggle.healed && r.url.endsWith("/fail-infer")) ""
+      else if (!HealToggle.healed && r.url.endsWith("/fail-parse"))
+        "garbled model output without any json"
+      else
+        """{"triplets": [{"location": "Minnesota", "relationship": "contains", "stratigraphic_name": "Shakopee Formation"}]}"""
+    }
+  }
+}
+
 class KgPipelineSpec extends SparkSpec {
   import spark.implicits._
 
@@ -197,7 +214,7 @@ class KgPipelineSpec extends SparkSpec {
   test("lineage has per-partition rows for every stage") {
     val stages = result.lineage.select("stage").distinct()
       .collect().map(_.getString(0)).toSet
-    assert(stages === Set("extract", "triples"))
+    assert(stages === Set("extract", "infer", "parse", "triples"))
   }
 
   test("USGS fallback: fluorspar gets Mindat formula when Macrostrat misses") {
@@ -364,6 +381,90 @@ class KgPipelineSpec extends SparkSpec {
     val recovered = spark.read.parquet(s"$partialDir/triples")
       .select(key.map(col): _*).collect().map(_.toSeq).toSet
     assert(recovered === clean)
+  }
+
+  test("infer/parse failures: lineage counts them; failed urls re-driven after heal (NA semantics)") {
+    // The reference keeps failed documents visible as "NA" placeholder rows
+    // (chtc/preprocess_extraction_direct.py:99-110); here the equivalents
+    // are the infer/parse lineage stages + Result.failedUrls + the
+    // done-set exclusion that makes a failed page re-drivable.
+    val outDir = java.nio.file.Files.createTempDirectory("kgfail").toString
+    def page(u: String, t: String) =
+      (u, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+        HtmlText.render(t, "en"), t, "en")
+    val pages = Seq(
+      page("https://t/ok", "Shakopee Formation in Minnesota."),
+      page("https://t/fail-infer", "Text one."),
+      page("https://t/fail-parse", "Text two."))
+      .toDF("url", "warc_ts", "html", "text", "lang")
+    HealToggle.healed = false
+    val r1 = KgPipeline.run(spark, pages, dims, new HealToggle.HealingClient,
+      KgPipeline.Config(numPartitions = 2))
+    val failed = r1.lineage.filter(col("stage").isin("infer", "parse"))
+      .groupBy("stage").agg(sum("failed_rows").as("f"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(failed === Map("infer" -> 1L, "parse" -> 1L))
+    assert(r1.failedUrls.collect().map(_.getString(0)).toSet ===
+      Set("https://t/fail-infer", "https://t/fail-parse"))
+    // a legitimately-empty page is NOT a failure: zero triples, status ok
+    r1.cleanup()
+
+    KgPipeline.runAndCommit(spark, pages, dims, new HealToggle.HealingClient,
+      outDir, KgPipeline.Config(numPartitions = 2))
+    val done1 = spark.read.parquet(s"$outDir/checkpoint/done")
+      .select("url").collect().map(_.getString(0)).toSet
+    assert(done1 === Set("https://t/ok")) // failures never marked done
+    assert(spark.read.parquet(s"$outDir/triples").count() === 1L)
+
+    // endpoint heals → the next incremental run re-drives ONLY the failed
+    // urls (ok is behind the done-set) and marks them done
+    HealToggle.healed = true
+    KgPipeline.runAndCommit(spark, pages, dims, new HealToggle.HealingClient,
+      outDir, KgPipeline.Config(numPartitions = 2))
+    val done2 = spark.read.parquet(s"$outDir/checkpoint/done")
+      .select("url").collect().map(_.getString(0)).toSet
+    assert(done2 === Set("https://t/ok", "https://t/fail-infer", "https://t/fail-parse"))
+    val t2 = spark.read.parquet(s"$outDir/triples")
+    assert(t2.count() === 3L)
+    assert(t2.filter(col("url") === "https://t/ok").count() === 1L) // not re-run
+  }
+
+  test("legitimately-empty page is ok, not an infer/parse failure") {
+    val pages = Seq(("https://t/empty", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+      HtmlText.render("Nothing relevant here.", "en"), "Nothing relevant here.", "en"))
+      .toDF("url", "warc_ts", "html", "text", "lang")
+    // HeuristicClient emits {"triplets": []} for a no-mention page — valid,
+    // zero triplets: the raw-count bookkeeping alone could not tell this
+    // from a parse failure
+    val r = KgPipeline.run(spark, pages, dims, client, KgPipeline.Config(numPartitions = 2))
+    assert(r.failedUrls.count() === 0L)
+    val failedByStage = r.lineage.filter(col("stage").isin("infer", "parse"))
+      .agg(sum("failed_rows")).collect().head.getLong(0)
+    assert(failedByStage === 0L)
+    assert(r.triples.count() === 0L)
+    r.cleanup()
+  }
+
+  test("alias key tier can never displace an exact strat name (ADVICE r4)") {
+    // Record A's contracted long-name alias ("Foo Formation" → "Foo Fm",
+    // tier 2, id 1) collides with record B's EXACT short name ("Foo Fm",
+    // tier 0, id 2). Pure min-id first-hit would let the alias steal the
+    // exact key; the tier ordering must hand it to B.
+    val a = Dims.pinnedStrat.head.copy(strat_name = "Alpha",
+      strat_name_long = "Foo Formation", strat_name_id = 1L, concept_id = 1L)
+    val b = Dims.pinnedStrat.head.copy(strat_name = "Foo Fm",
+      strat_name_long = "Foo Fm", strat_name_id = 2L, concept_id = 2L)
+    val keyed = Hydrator.prepare(dims.copy(stratDim = Seq(a, b).toDF())).stratKeyed
+    val exact = keyed.filter(col("join_norm") === "foo fm").collect()
+    assert(exact.length === 1)
+    assert(exact.head.getAs[Long]("strat_name_id") === 2L)
+    // tier 1 (exact long name) still beats tier 3 (B's expanded alias
+    // "Foo Fm" → "Foo Formation") on the same key
+    val viaLong = keyed.filter(col("join_norm") === "foo formation").collect()
+    assert(viaLong.head.getAs[Long]("strat_name_id") === 1L)
+    // and an alias key nobody owns exactly still hydrates (tier 2 fills it)
+    val keyedPinned = Hydrator.prepare(dims).stratKeyed
+    assert(keyedPinned.filter(col("join_norm") === "shakopee fm").count() === 1L)
   }
 
   test("tier-2 fuzzy alignment: misspelled unit links + hydrates; off by default") {

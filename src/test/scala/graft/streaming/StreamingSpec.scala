@@ -37,6 +37,30 @@ class StreamingSpec extends SparkSpec {
     assert(shak.forall(_.getAs[Boolean]("obj_linked")))
   }
 
+  test("streaming hydration: streamed rows equal the batch pipeline's hydrated triples") {
+    // The streamed output unit is the HYDRATED triplet with the batch
+    // pipeline's exact schema (reference: text2graph/schema.py:441-447);
+    // only global canonicalization is deferred to compaction, so the batch
+    // comparator runs canonicalize = false.
+    val dir = java.nio.file.Files.createTempDirectory("pagestreamhyd").toString
+    Pages.fixtures(spark).write.mode("overwrite").parquet(dir)
+    val q = StreamingKg.triplesStream(StreamingKg.pagesStream(spark, dir), dims, client)
+      .writeStream.format("memory").queryName("triples_hyd_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val got = spark.table("triples_hyd_out")
+    assert(got.columns.toSeq === KgPipeline.TripleColumns)
+    val batch = KgPipeline.run(spark, Pages.fixtures(spark), dims, client,
+      KgPipeline.Config(numPartitions = 4, canonicalize = false)).triples
+    val cols = Seq("url", "subj_name", "predicate", "obj_name", "obj_canonical",
+      "obj_final", "obj_linked", "entity_cluster_id", "strat_name",
+      "strat_name_long", "strat_name_id", "b_age", "t_age", "mineral",
+      "formula", "lith", "subj_lat", "subj_lon")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(cols.map(col): _*).collect().map(_.toSeq).toSet
+    assert(rows(got) === rows(batch))
+  }
+
   test("snapshot sink: per-batch atomic commits, replayed batch is a no-op") {
     import graft.sources.SnapshotStore
     val pagesDir = java.nio.file.Files.createTempDirectory("snapsrc").toString
