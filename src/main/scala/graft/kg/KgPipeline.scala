@@ -25,6 +25,15 @@ import org.apache.spark.sql.functions._
   */
 object KgPipeline {
 
+  /** Url-hash bucket count shared by the triples sink, the done-set layout
+    * and the bucket-sharded resume mode (the parquet stand-in for an
+    * Iceberg `bucket(url)` partition transform). */
+  val UrlBuckets = 64
+
+  /** The bucket of a url — MUST match the sink partitioning everywhere. */
+  def urlBucket(url: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    pmod(xxhash64(url), lit(UrlBuckets))
+
   final case class Config(
       numPartitions: Int = 32,
       microBatch: Int = 200,
@@ -37,6 +46,11 @@ object KgPipeline {
       // (alignment.py:110-119). Off by default: it links strictly more
       // than normalization equality, so turning it on changes outputs.
       fuzzyAlignMinJaccard: Option[Double] = None,
+      // Some(cap) => drop dictionary grams with document frequency > cap
+      // from tier-2 candidate generation (Linker.alignFuzzy stop-gram
+      // lever; scoring stays exact). Only read when fuzzyAlignMinJaccard
+      // is set.
+      fuzzyStopGramMaxDf: Option[Int] = None,
       canonicalize: Boolean = true,
       // false => entity space is known-unbounded (open-vocabulary web
       // extraction): go straight to distributed CC, skip the driver probe.
@@ -55,6 +69,17 @@ object KgPipeline {
       // demotes to shuffle join when it does not). Mirrors the
       // Hydrator.hydratePrepared(broadcastDims) duality.
       broadcastDone: Boolean = true,
+      // Some(buckets) => bucket-sharded operation (the 10^12-url resume
+      // shape PLANS.md round-4 named): this run processes ONLY pages whose
+      // url bucket (pmod(xxhash64(url), 64) — the same transform the
+      // triples/done sinks partition by) is in the set, and the done-set
+      // read prunes to exactly those bucket directories at the parquet
+      // scan (static partition pruning — no full done-set scan, and the
+      // per-shard done subset is 1/64th, so the anti-join stays a
+      // broadcast with no exchange of the page side long after the FULL
+      // done-set outgrew broadcast). Union of disjoint bucket runs equals
+      // one full run (parity-tested); None = process everything.
+      buckets: Option[Seq[Int]] = None,
       emitRdf: Boolean = false,
       checkpointDir: Option[String] = None,
       jobStart: java.sql.Timestamp = java.sql.Timestamp.valueOf("2024-06-01 00:00:00"),
@@ -108,12 +133,15 @@ object KgPipeline {
 
     // J1: resume anti-join against previously committed urls — FIRST, so
     // already-done pages are pruned before any per-page work (broadcast
-    // anti-join: no shuffle of the page side).
+    // anti-join: no shuffle of the page side). In bucket-sharded mode both
+    // sides narrow to the shard's buckets before the join: the page side by
+    // filter, the done side by partition-pruned scan.
+    val scoped = bucketFilter(pages0, cfg)
     val pages = cfg.checkpointDir match {
       case Some(dir) if fsExists(spark, s"$dir/done") =>
-        val done = spark.read.parquet(s"$dir/done").select("url")
-        pages0.join(doneSide(done, cfg), Seq("url"), "left_anti")
-      case _ => pages0
+        scoped.join(doneSide(readDone(spark, s"$dir/done", cfg), cfg),
+          Seq("url"), "left_anti")
+      case _ => scoped
     }
 
     // Extract stage: html → text (the invariant-bearing step; input_hint
@@ -194,7 +222,8 @@ object KgPipeline {
       if (cfg.saltedAlign) Linker.alignSalted(parsed, alias, cfg.saltBuckets)
       else Linker.align(parsed, alias)
     val aligned = cfg.fuzzyAlignMinJaccard
-      .map(t => Linker.alignFuzzy(aligned0, alias, t)).getOrElse(aligned0)
+      .map(t => Linker.alignFuzzy(aligned0, alias, t, cfg.fuzzyStopGramMaxDf))
+      .getOrElse(aligned0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // CC canonicalization over the candidate-pair edges.
@@ -278,7 +307,7 @@ object KgPipeline {
     // `bucket(url)` partition transform (FIXTURES.md §5): point lookups by
     // url prune to one bucket, appends from resumed runs stay co-located.
     res.triples
-      .withColumn("url_bucket", pmod(xxhash64(col("url")), lit(64)))
+      .withColumn("url_bucket", urlBucket(col("url")))
       .write.mode("append").partitionBy("url_bucket").parquet(s"$outDir/triples")
     res.lineage.write.mode("append").parquet(s"$outDir/lineage")
     res.rdf.foreach(_.write.mode("append").parquet(s"$outDir/rdf"))
@@ -289,13 +318,23 @@ object KgPipeline {
     // resume anti-join re-drives them (the reference's re-drivable "NA"
     // placeholder semantics; with a deterministic client they fail again,
     // with a healed transport they heal).
+    val donePath = s"$outDir/checkpoint/done"
     val newUrls =
-      if (fsExists(spark, s"$outDir/checkpoint/done")) {
-        val done = spark.read.parquet(s"$outDir/checkpoint/done").select("url")
-        pages.select("url").join(doneSide(done, cfg), Seq("url"), "left_anti")
-      } else pages.select("url")
-    newUrls.join(doneSide(res.failedUrls, cfg), Seq("url"), "left_anti")
-      .write.mode("append").parquet(s"$outDir/checkpoint/done")
+      if (fsExists(spark, donePath)) {
+        val done = readDone(spark, donePath, cfg)
+        bucketFilter(pages.select("url"), cfg)
+          .join(doneSide(done, cfg), Seq("url"), "left_anti")
+      } else bucketFilter(pages.select("url"), cfg)
+    // done-set layout mirrors the triples sink: url_bucket-partitioned, so
+    // a bucket-sharded resume prunes its scan to the shard's directories.
+    // (Pre-bucketing checkpoint dirs keep their flat layout — mixing flat
+    // files and partition dirs would break parquet partition discovery.)
+    val doneIsFlat = fsExists(spark, donePath) &&
+      !spark.read.parquet(donePath).columns.contains("url_bucket")
+    val committed = newUrls.join(doneSide(res.failedUrls, cfg), Seq("url"), "left_anti")
+    if (doneIsFlat) committed.write.mode("append").parquet(donePath)
+    else committed.withColumn("url_bucket", urlBucket(col("url")))
+      .write.mode("append").partitionBy("url_bucket").parquet(donePath)
     res.cleanup()
   }
 
@@ -311,13 +350,18 @@ object KgPipeline {
                            cfg: Config = Config()): Int = {
     import graft.sources.SnapshotStore
     val done = SnapshotStore.read(spark, tableDir, "done")
+    val scoped = bucketFilter(pages, cfg)
     val todo = done match {
-      case Some(d) => pages.join(doneSide(d.select("url"), cfg), Seq("url"), "left_anti")
-      case None => pages
+      case Some(d) =>
+        // bucket-sharded mode narrows the done side by recomputed bucket
+        // (the snapshot store has no partition transform to prune by)
+        scoped.join(
+          doneSide(bucketFilter(d.select("url"), cfg), cfg), Seq("url"), "left_anti")
+      case None => scoped
     }
     val res = run(spark, todo, dims, client, cfg)
     val triples = res.triples
-      .withColumn("url_bucket", pmod(xxhash64(col("url")), lit(64)))
+      .withColumn("url_bucket", urlBucket(col("url")))
     // failed-url exclusion: same re-drivable semantics as runAndCommit —
     // the snapshot's done table never claims a page whose infer/parse
     // failed this run.
@@ -335,6 +379,31 @@ object KgPipeline {
     * scale path — an explicit hint cannot be demoted by AQE). */
   private def doneSide(done: DataFrame, cfg: Config): DataFrame =
     if (cfg.broadcastDone) broadcast(done) else done
+
+  /** Narrow a url-keyed frame to the configured bucket shard (no-op when
+    * bucket sharding is off). */
+  private def bucketFilter(df: DataFrame, cfg: Config): DataFrame =
+    cfg.buckets match {
+      case Some(bs) => df.filter(urlBucket(col("url")).isin(bs.map(_.toLong): _*))
+      case None => df
+    }
+
+  /** Read the done-set. In bucket-sharded mode against the partitioned
+    * layout the url_bucket predicate is a PARTITION filter: the scan reads
+    * only the shard's bucket directories (verified executed-plan evidence
+    * in PLANS.md round-5 — `PartitionFilters: [url_bucket IN (...)]`,
+    * no full done-set IO). Flat (pre-bucketing) layouts fall back to a
+    * recomputed-bucket row filter — same rows, no pruning. */
+  private def readDone(spark: SparkSession, path: String, cfg: Config): DataFrame = {
+    val done0 = spark.read.parquet(path)
+    val pruned = cfg.buckets match {
+      case Some(bs) if done0.columns.contains("url_bucket") =>
+        done0.filter(col("url_bucket").isin(bs.map(_.toLong): _*))
+      case Some(bs) => done0.filter(urlBucket(col("url")).isin(bs.map(_.toLong): _*))
+      case None => done0
+    }
+    pruned.select("url")
+  }
 
   private def fsExists(spark: SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)

@@ -114,16 +114,25 @@ object Linker {
     * Candidate generation is the same bucketed-equi-join family as the
     * MinHash-LSH dedup path: each side explodes its distinct grams once and
     * the join shuffles (kind, gram) keys, so cost scales with gram
-    * postings, not |unlinked|×|dictionary|. At web scale the production
-    * lever is an IDF cap (drop the few highest-frequency grams from
-    * candidate generation — a stop-gram list — before the join); not
-    * applied here because it weakens exact Jaccard semantics, which the
-    * gate oracle pins.
+    * postings, not |unlinked|×|dictionary|.
+    *
+    * `stopGramMaxDf = Some(cap)` is the web-scale skew lever: grams whose
+    * DICTIONARY-side document frequency exceeds the cap (the "for"/"ati"
+    * inside every "...Formation" — the head keys a skewed open-vocabulary
+    * corpus hammers) are dropped from candidate GENERATION only; surviving
+    * candidate pairs then rejoin their full gram arrays and score by exact
+    * `array_intersect` Jaccard, so every emitted link carries the same
+    * exact score as the uncapped path (parity-tested). The only semantic
+    * delta is recall: a pair sharing ONLY stop grams is never considered —
+    * by construction such a pair's Jaccard is dominated by the corpus-wide
+    * suffix, not the name. Off by default; skew measurement in PLANS.md
+    * round-5 (tools/FuzzySkew).
     *
     * Output schema equals [[align]]'s: `obj_canonical` swapped and
     * `obj_linked` set for tier-2 hits, untouched rows pass through. */
   def alignFuzzy(aligned: DataFrame, alias: DataFrame,
-                 minJaccard: Double = 0.6): DataFrame = {
+                 minJaccard: Double = 0.6,
+                 stopGramMaxDf: Option[Int] = None): DataFrame = {
     val unlinked = aligned.filter(!col("obj_linked"))
       .select(col("obj_kind").as("f_kind"), col("obj_name").as("f_name"))
       .distinct()
@@ -139,15 +148,50 @@ object Linker {
     val build = dict.select(col("a_kind"), col("alias_norm"),
       col("canonical").as("a_canonical"), col("a_size"),
       explode(col("a_grams")).as("gram"))
-    // grams are DISTINCT per side, so the pair's row count IS |A∩B|
-    val scored = probe
-      .join(build, probe("gram") === build("gram") &&
-        col("f_kind") === col("a_kind"))
-      .groupBy("f_kind", "f_name", "f_size", "alias_norm", "a_canonical", "a_size")
-      .agg(count(lit(1)).as("gram_inter"))
-      .withColumn("jaccard", col("gram_inter") /
-        (col("f_size") + col("a_size") - col("gram_inter")))
-      .filter(col("jaccard") >= minJaccard)
+    val scored = stopGramMaxDf match {
+      case None =>
+        // grams are DISTINCT per side, so the pair's row count IS |A∩B|
+        probe
+          .join(build, probe("gram") === build("gram") &&
+            col("f_kind") === col("a_kind"))
+          .groupBy("f_kind", "f_name", "f_size", "alias_norm", "a_canonical", "a_size")
+          .agg(count(lit(1)).as("gram_inter"))
+          .withColumn("jaccard", col("gram_inter") /
+            (col("f_size") + col("a_size") - col("gram_inter")))
+          .filter(col("jaccard") >= minJaccard)
+      case Some(cap) =>
+        // stop-gram list from the dictionary side only (deterministic,
+        // corpus-independent): df = how many aliases contain the gram
+        val stop = build.groupBy(col("a_kind").as("s_kind"), col("gram").as("s_gram"))
+          .agg(count(lit(1)).as("gram_df"))
+          .filter(col("gram_df") > cap)
+          .select("s_kind", "s_gram")
+        val bSel = build.join(stop,
+          col("a_kind") === col("s_kind") && col("gram") === col("s_gram"), "left_anti")
+        val pSel = probe.join(stop,
+          col("f_kind") === col("s_kind") && col("gram") === col("s_gram"), "left_anti")
+        // candidate pairs from the capped join — every posting list is now
+        // bounded by the cap, so no reducer sees a hot gram
+        val cand = pSel
+          .join(bSel, pSel("gram") === bSel("gram") && col("f_kind") === col("a_kind"))
+          .select("f_kind", "f_name", "alias_norm", "a_canonical").distinct()
+        // exact Jaccard for the survivors: rejoin the full (small, per-name)
+        // gram arrays — capped candidate generation, uncapped scoring
+        cand
+          .join(unlinked.select(col("f_kind").as("u_kind"),
+            col("f_name").as("u_name"), col("f_grams"), col("f_size")),
+            col("f_kind") === col("u_kind") && col("f_name") === col("u_name"))
+          .join(dict.select(col("a_kind").as("d_kind"),
+            col("alias_norm").as("d_alias"), col("a_grams"), col("a_size")),
+            col("f_kind") === col("d_kind") && col("alias_norm") === col("d_alias"))
+          .withColumn("gram_inter",
+            size(array_intersect(col("f_grams"), col("a_grams"))).cast("long"))
+          .withColumn("jaccard", col("gram_inter") /
+            (col("f_size") + col("a_size") - col("gram_inter")))
+          .filter(col("jaccard") >= minJaccard)
+          .select("f_kind", "f_name", "f_size", "alias_norm", "a_canonical",
+            "a_size", "gram_inter", "jaccard")
+    }
     // argmax per unlinked name: max Jaccard, ties to the lexical-min alias
     // (deterministic, like every first-hit rule in this engine) — one
     // map-side-combined min(struct) over (−jaccard, alias, canonical)

@@ -35,6 +35,41 @@ object ResumePlan {
       println(s"== $label (done=$nDone) ==")
       joins.foreach(j => println("  " + j))
     }
+    // Bucket-sharded resume (PLANS.md round-5): the done-set written
+    // url_bucket-partitioned, a 4-bucket shard read back — the url_bucket
+    // predicate must appear as a PartitionFilter on the scan (directory
+    // pruning: ~4/64ths of the done-set read) and the shard's anti-join
+    // must stay a broadcast with no exchange of the page side.
+    spark.range(nDone)
+      .select(concat(lit("https://synthetic.graft/doc/"), col("id")).as("url"))
+      .withColumn("url_bucket", pmod(xxhash64(col("url")), lit(64)))
+      .write.partitionBy("url_bucket").parquet(s"$dir/done_bucketed")
+    val shard = (0L until 4L)
+    val doneB = spark.read.parquet(s"$dir/done_bucketed")
+      .filter(col("url_bucket").isin(shard: _*)).select("url")
+    val pagesB = pages.filter(pmod(xxhash64(col("url")), lit(64)).isin(shard: _*))
+    for ((label, side) <- Seq("hinted" -> broadcast(doneB), "aqe" -> doneB)) {
+      val dfB = pagesB.join(side, Seq("url"), "left_anti")
+      // execute THIS dataset's own QueryExecution (collect reuses it), so
+      // the printed plan is the AQE-final one, not the pre-execution
+      // initial plan (bounded: the shard's undone urls, nDone/16 rows)
+      dfB.collect()
+      val planB = dfB.queryExecution.executedPlan.toString
+      // AQE plan strings append an "== Initial Plan ==" section — keep only
+      // the final plan above it
+      val finalPart = planB.split("== Initial Plan ==").head
+      println(s"== bucket-sharded $label (done=$nDone, shard=4/64 buckets) ==")
+      println("  isFinalPlan=" + finalPart.linesIterator.next().contains("isFinalPlan=true"))
+      finalPart.linesIterator.map(_.trim)
+        .filter(l => ((l.contains("Join") || l.contains("Exchange") ||
+          l.contains("ShuffleRead")) && !l.contains("ReusedExchange")) ||
+          l.contains("PartitionFilters"))
+        .foreach { l =>
+          val pf = l.indexOf("PartitionFilters")
+          println("  " + (if (pf > 0) "FileScan ... " + l.substring(pf)
+            else l.takeWhile(_ != '[')))
+        }
+    }
     spark.stop()
   }
 }

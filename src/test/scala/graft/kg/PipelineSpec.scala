@@ -467,6 +467,40 @@ class KgPipelineSpec extends SparkSpec {
     assert(keyedPinned.filter(col("join_norm") === "shakopee fm").count() === 1L)
   }
 
+  test("bucket-sharded resume: disjoint bucket runs union to one full run; done layout prunes") {
+    val outFull = java.nio.file.Files.createTempDirectory("kgbucketfull").toString
+    val outShard = java.nio.file.Files.createTempDirectory("kgbucketshard").toString
+    val pages = Pages.fixtures(spark)
+    KgPipeline.runAndCommit(spark, pages, dims, client, outFull,
+      KgPipeline.Config(numPartitions = 2))
+    // the same corpus as two disjoint bucket shards (the 10^12-url
+    // operating mode: each run broadcasts only its shard's done subset)
+    KgPipeline.runAndCommit(spark, pages, dims, client, outShard,
+      KgPipeline.Config(numPartitions = 2, buckets = Some(0 until 32)))
+    KgPipeline.runAndCommit(spark, pages, dims, client, outShard,
+      KgPipeline.Config(numPartitions = 2, buckets = Some(32 until 64)))
+    def rows(dir: String) = spark.read.parquet(s"$dir/triples")
+      .select("url", "subj_name", "predicate", "obj_name", "obj_final")
+      .collect().map(_.toSeq).toSet
+    assert(rows(outShard) === rows(outFull))
+    def doneUrls(dir: String) = spark.read.parquet(s"$dir/checkpoint/done")
+      .select("url").collect().map(_.getString(0)).toSet
+    assert(doneUrls(outShard) === doneUrls(outFull))
+    // the done-set landed url_bucket-partitioned, and a sharded read is a
+    // PARTITION filter (pruned at the scan, not a post-scan row filter)
+    assert(new java.io.File(s"$outShard/checkpoint/done").listFiles()
+      .exists(_.getName.startsWith("url_bucket=")))
+    val sharded = spark.read.parquet(s"$outShard/checkpoint/done")
+      .filter(col("url_bucket").isin((0L until 32L): _*)).select("url")
+    val plan = sharded.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("url_bucket"))
+    // re-running a shard is incremental (its urls are behind the done-set)
+    val n1 = spark.read.parquet(s"$outShard/triples").count()
+    KgPipeline.runAndCommit(spark, pages, dims, client, outShard,
+      KgPipeline.Config(numPartitions = 2, buckets = Some(0 until 32)))
+    assert(spark.read.parquet(s"$outShard/triples").count() === n1)
+  }
+
   test("tier-2 fuzzy alignment: misspelled unit links + hydrates; off by default") {
     val text = "The Waldron Shael is exposed near Minnesota."
     val page = Seq(("https://t/fuzzy",
@@ -493,6 +527,41 @@ class KgPipelineSpec extends SparkSpec {
     assert(on.getAs[Boolean]("obj_linked"))
     assert(on.getAs[String]("obj_final") === "Waldron Shale")
     assert(on.getAs[Long]("strat_name_id") === 4260L)
+  }
+
+  test("stop-gram cap: exact scores preserved; aggressive cap still links Waldron Shael") {
+    val alias = Seq(
+      ("waldron shale", "Waldron Shale"),
+      ("shakopee formation", "Shakopee Formation"),
+      ("roubidoux formation", "Roubidoux Formation"),
+      ("gold", "gold"))
+      .toDF("alias_norm", "canonical")
+      .withColumn("kind", lit(Model.ObjKind.Strat))
+    val names = Seq("Waldron Shael", "Shakopee Formatoin", "Waldrop Q")
+      .toDF("n")
+      .select(lit("https://t/cap").as("url"), lit("h").as("hashed_text"),
+        lit("m").as("model_id"), lit("Indiana").as("subj_name"),
+        lit("is in").as("predicate"),
+        col("n").as("obj_name"), lit(Model.ObjKind.Strat).as("obj_kind"))
+    val aligned = Linker.align(names, alias)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("obj_name", "obj_canonical", "obj_linked")
+        .collect().map(_.toSeq).toSet
+    val uncapped = rows(Linker.alignFuzzy(aligned, alias, minJaccard = 0.5))
+    // a cap high enough to drop nothing must take the capped code path to
+    // the identical output (the exact-rescoring rejoin equals the
+    // count-based intersection)
+    val slack = rows(Linker.alignFuzzy(aligned, alias, minJaccard = 0.5,
+      stopGramMaxDf = Some(1000)))
+    assert(slack === uncapped)
+    // cap=1 drops every gram shared by >1 alias ("ation", "forma..." —
+    // both Formation entries); "waldron shale"'s own grams are unique in
+    // the dictionary, so the misspelling still links with its exact score
+    val aggressive = Linker.alignFuzzy(aligned, alias, minJaccard = 0.5,
+      stopGramMaxDf = Some(1))
+    val waldron = aggressive.filter(col("obj_name") === "Waldron Shael").collect().head
+    assert(waldron.getAs[String]("obj_canonical") === "Waldron Shale")
+    assert(waldron.getAs[Boolean]("obj_linked"))
   }
 
   test("AQE-managed resume anti-join equals the broadcast-hinted path") {
