@@ -489,13 +489,14 @@ object KgQueries {
 
     // S1, HYBRID fusion (askxdd.py:77-120: Weaviate hybrid search — one
     // query ranked by BOTH the lexical and the vector index, fused, under a
-    // topic filter): the lexical score (kg_retrieval_topk's mention counts)
-    // and the semantic score (kg_retrieval_semantic's hashed-BoW cosine)
-    // rank the topic-filtered docs independently, then fuse by weighted
-    // reciprocal rank — alpha/(60+rank_sem) + (1−alpha)/(60+rank_lex),
-    // alpha = 0.5 — the deterministic form of Weaviate's rank fusion
-    // (integer ranks with doc_id tie-break, so both engines agree exactly;
-    // score-normalization fusion would ride on cross-engine fp drift).
+    // topic filter): each scorer returns its bounded TOP-K result list
+    // (TakeOrderedAndProject — never a global rank over the candidate set,
+    // which at corpus scale is unbounded), the two lists full-outer join on
+    // doc id, and a doc's fused score sums alpha/(60+rank) over the lists
+    // that returned it — Weaviate's reciprocal-rank fusion of two result
+    // lists, alpha = 0.5. Integer ranks with doc_id tie-break keep both
+    // engines exact; score-normalization fusion would ride on
+    // cross-engine fp drift.
     "kg_retrieval_hybrid" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(s, dir).filter(col("source").isin(HybridTopics: _*))
@@ -523,16 +524,19 @@ object KgQueries {
           coalesce(round(graft.ops.Similarity.dot(col("embedding"), qCol) /
             (graft.ops.Similarity.norm(col("embedding")) * lit(qNorm)), 4),
             lit(-1.0)).as("sem_score"))
-      // global window = the final top-k ranking step (bounded by the topic
-      // filter; at corpus scale this is the TakeOrdered tail of a search)
-      val ranked = scored
-        .withColumn("rank_lex", row_number().over(
-          Window.orderBy(desc("lex_score"), col("doc_id"))))
-        .withColumn("rank_sem", row_number().over(
-          Window.orderBy(desc("sem_score"), col("doc_id"))))
-      ranked.select(col("doc_id"),
-          round(lit(0.5) / (lit(60) + col("rank_sem")) +
-            lit(0.5) / (lit(60) + col("rank_lex")) + lit(1e-9), 6).as("score"))
+      // top-K list per scorer: orderBy+limit compiles to TakeOrdered; the
+      // rank window then runs over the ALREADY-BOUNDED K-row list
+      def topList(by: String, rank: String) = scored
+        .orderBy(desc(by), col("doc_id")).limit(HybridK)
+        .withColumn(rank, row_number().over(
+          Window.orderBy(desc(by), col("doc_id"))))
+        .select(col("doc_id"), col(rank))
+      topList("lex_score", "rank_lex")
+        .join(topList("sem_score", "rank_sem"), Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          round(coalesce(lit(0.5) / (lit(60) + col("rank_sem")), lit(0.0)) +
+            coalesce(lit(0.5) / (lit(60) + col("rank_lex")), lit(0.0)) +
+            lit(1e-9), 6).as("score"))
         .orderBy(desc("score"), col("doc_id"))
         .limit(10)
     },
@@ -599,8 +603,11 @@ object KgQueries {
   val SemanticQuery = "spark join table window stream"
 
   /** The hybrid gate's topic filter (askxdd.py's topic_list containment
-    * predicate, over the corpus `source` facet). */
+    * predicate, over the corpus `source` facet) and per-scorer result-list
+    * size (Weaviate fuses the two bounded top-K lists, never a global
+    * ranking of the candidate set). */
   val HybridTopics: Seq[String] = Seq("src0", "src1", "src2", "src3", "src4")
+  val HybridK = 100
 
   /** Hashed bag-of-words featurization of a query string — dim i counts the
     * query tokens whose md5 begins with hex digit i (the same rule the
@@ -914,13 +921,20 @@ object KgQueries {
               coalesce(round(list_dot_product(emb, $qvSql) /
                 (sqrt(list_dot_product(emb, emb)) * $qNorm), 4), -1.0) AS sem_score
             FROM docs LEFT JOIN emb ON docs.doc_id = emb.doc_id),
-          ranked AS (
-            SELECT lex.doc_id,
-              row_number() OVER (ORDER BY lex_score DESC, lex.doc_id) AS rank_lex,
-              row_number() OVER (ORDER BY sem_score DESC, sem.doc_id) AS rank_sem
-            FROM lex JOIN sem ON lex.doc_id = sem.doc_id)
-          SELECT doc_id, round(0.5 / (60 + rank_sem) + 0.5 / (60 + rank_lex) + 1e-9, 6) AS score
-          FROM ranked ORDER BY score DESC, doc_id LIMIT 10"""
+          scored AS (
+            SELECT lex.doc_id, lex_score, sem_score
+            FROM lex JOIN sem ON lex.doc_id = sem.doc_id),
+          lex_top AS (
+            SELECT doc_id, row_number() OVER (ORDER BY lex_score DESC, doc_id) AS rank_lex
+            FROM (SELECT * FROM scored ORDER BY lex_score DESC, doc_id LIMIT $HybridK)),
+          sem_top AS (
+            SELECT doc_id, row_number() OVER (ORDER BY sem_score DESC, doc_id) AS rank_sem
+            FROM (SELECT * FROM scored ORDER BY sem_score DESC, doc_id LIMIT $HybridK))
+          SELECT coalesce(lex_top.doc_id, sem_top.doc_id) AS doc_id,
+            round(coalesce(0.5 / (60 + rank_sem), 0.0) +
+              coalesce(0.5 / (60 + rank_lex), 0.0) + 1e-9, 6) AS score
+          FROM lex_top FULL OUTER JOIN sem_top ON lex_top.doc_id = sem_top.doc_id
+          ORDER BY score DESC, doc_id LIMIT 10"""
     },
     "kg_retrieval_topk" ->
       """SELECT doc_id, score FROM (
