@@ -39,6 +39,34 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(seen === Set(1L))
   }
 
+  test("snapshot commit excludes failed urls from done; heal re-drives them") {
+    val dir = tmp("snapfail")
+    val dims = Dims.tiny(spark)
+    def page(u: String, t: String) =
+      (u, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+        HtmlText.render(t, "en"), t, "en")
+    val pages = Seq(
+      page("https://t/ok", "Shakopee Formation in Minnesota."),
+      page("https://t/fail-infer", "Text one."))
+      .toDF("url", "warc_ts", "html", "text", "lang")
+    graft.kg.HealToggle.healed = false
+    val v1 = KgPipeline.runAndCommitSnapshot(spark, pages, dims,
+      new graft.kg.HealToggle.HealingClient, dir, KgPipeline.Config(numPartitions = 2))
+    assert(v1 === 1)
+    // the atomic snapshot's done table never claims the failed page
+    assert(SnapshotStore.read(spark, dir, "done").get
+      .collect().map(_.getString(0)).toSet === Set("https://t/ok"))
+    graft.kg.HealToggle.healed = true
+    KgPipeline.runAndCommitSnapshot(spark, pages, dims,
+      new graft.kg.HealToggle.HealingClient, dir, KgPipeline.Config(numPartitions = 2))
+    assert(SnapshotStore.read(spark, dir, "done").get
+      .collect().map(_.getString(0)).toSet ===
+      Set("https://t/ok", "https://t/fail-infer"))
+    val triples = SnapshotStore.read(spark, dir, "triples").get
+    assert(triples.filter(col("url") === "https://t/fail-infer").count() === 1L)
+    assert(triples.filter(col("url") === "https://t/ok").count() === 1L) // not re-run
+  }
+
   test("optimistic concurrency: a taken version is retried, not clobbered") {
     val dir = tmp("snapocc")
     SnapshotStore.commit(spark, dir, Map("t" -> Seq((1L, "a")).toDF("id", "v")))
