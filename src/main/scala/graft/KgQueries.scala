@@ -514,6 +514,8 @@ object KgQueries {
       val qv = semanticQueryVector(SemanticQuery)
       val qNorm = math.sqrt(qv.map(x => x * x).sum)
       val qCol = array(qv.map(lit): _*)
+      // checkpointed: BOTH top-K lists consume it — without the pin the
+      // mention scan + embedding aggregation would run twice per execution
       val scored = docs.select("doc_id")
         .join(lex, Seq("doc_id"), "left")
         .join(emb, Seq("doc_id"), "left")
@@ -524,6 +526,7 @@ object KgQueries {
           coalesce(round(graft.ops.Similarity.dot(col("embedding"), qCol) /
             (graft.ops.Similarity.norm(col("embedding")) * lit(qNorm)), 4),
             lit(-1.0)).as("sem_score"))
+        .localCheckpoint(true)
       // top-K list per scorer: orderBy+limit compiles to TakeOrdered; the
       // rank window then runs over the ALREADY-BOUNDED K-row list
       def topList(by: String, rank: String) = scored

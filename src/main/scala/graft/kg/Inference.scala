@@ -184,12 +184,15 @@ object Inference {
       val payload = batch.map(r =>
         "\"" + esc(if (r.prompt.nonEmpty) r.prompt else r.text) + "\"")
         .mkString(s"""{"model": "${esc(modelId)}", "prompts": [""", ", ", "]}")
-      // Retries heal TRANSPORT faults only (the POST threw: timeout, reset,
-      // 5xx surfaced as an exception). A response that arrived but violates
-      // the contract — unparseable body, missing/short/long `outputs` — is
-      // deterministic given the same payload: re-sending cannot heal it and
-      // against a paid endpoint would bill the batch maxRetries times, so
-      // it degrades to empty raws after ONE attempt.
+      // Retries heal TRANSIENT faults: the POST threw (timeout, reset), or
+      // the body is not JSON at all — a proxy/load-balancer error page
+      // ("<html>502...") arrives as a normal return value when the injected
+      // transport does not throw on non-2xx, and re-sending can heal it.
+      // A WELL-FORMED JSON response whose `outputs` is missing or has the
+      // wrong cardinality is the endpoint itself violating the contract —
+      // deterministic given the same payload, so re-sending cannot heal it
+      // and against a paid endpoint would bill the batch maxRetries times:
+      // it degrades to empty raws after ONE such response.
       var attempt = 0
       var out: Option[Seq[String]] = None
       var contractViolation = false
@@ -197,15 +200,15 @@ object Inference {
         attempt += 1
         try {
           val body = transport(payload)
-          val parsed =
-            try {
-              val root = PostProcess.mapper.readTree(body)
-              val arr = root.get("outputs")
-              if (arr == null || !arr.isArray || arr.size != batch.size) None
-              else Some((0 until arr.size).map(i => arr.get(i).asText))
-            } catch { case _: Exception => None }
-          if (parsed.isEmpty) contractViolation = true
-          out = parsed
+          val root =
+            try Some(PostProcess.mapper.readTree(body))
+            catch { case _: Exception => None } // not JSON: transient, retry
+          root.foreach { r =>
+            val arr = r.get("outputs")
+            if (arr == null || !arr.isArray || arr.size != batch.size)
+              contractViolation = true // valid JSON, broken contract: fail fast
+            else out = Some((0 until arr.size).map(i => arr.get(i).asText))
+          }
         } catch { case _: Exception => () } // transport fault: retry
       }
       out.getOrElse(batch.map(_ => ""))

@@ -77,8 +77,16 @@ object KgPipeline {
       // scan (static partition pruning — no full done-set scan, and the
       // per-shard done subset is 1/64th, so the anti-join stays a
       // broadcast with no exchange of the page side long after the FULL
-      // done-set outgrew broadcast). Union of disjoint bucket runs equals
-      // one full run (parity-tested); None = process everything.
+      // done-set outgrew broadcast). Scope: sharding is exact for the
+      // per-page stages (resume, extract, infer, parse, align, hydrate —
+      // all per-url or broadcast-dim work). The corpus-GLOBAL stages see
+      // only the shard: canonicalization clusters within the shard (a
+      // cross-shard surface-variant pair collapses at the periodic
+      // compaction pass, exactly like the streaming path) and the
+      // dedupMinJaccard gate dedups within the shard only — run the
+      // corpus dedup BEFORE sharding when exact global dedup matters.
+      // Union-of-shards parity is tested on the default config's per-page
+      // path; None = process everything.
       buckets: Option[Seq[Int]] = None,
       emitRdf: Boolean = false,
       checkpointDir: Option[String] = None,

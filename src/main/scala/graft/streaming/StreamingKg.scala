@@ -58,8 +58,9 @@ object StreamingKg {
     *
     * Hydration is the batch pipeline's `Hydrator.hydratePrepared` verbatim
     * — stateless broadcast left joins against the prepared dim snapshot
-    * (the window-dedup key build happens once, batch-side, before the
-    * query starts), so the streamed output unit is the HYDRATED triplet
+    * (the window-dedup key build is CACHED, so micro-batches re-read the
+    * materialized keys instead of re-running the dedup windows), so the
+    * streamed output unit is the HYDRATED triplet
     * with the batch pipeline's exact `KgPipeline.TripleColumns` schema
     * (the reference's output unit is always the hydrated triplet,
     * text2graph/schema.py:441-447). The one batch-only step remaining is
@@ -87,7 +88,11 @@ object StreamingKg {
     val aligned = Linker.align(parsed, Linker.aliasDim(dims))
       .withColumn("obj_final", col("obj_canonical"))
       .withColumn("entity_cluster_id", xxhash64(col("obj_kind"), col("obj_canonical")))
-    Hydrator.hydratePrepared(aligned, Hydrator.prepare(dims), jobStart)
+    // cache the prepared (window-deduped) hydration keys: the static side
+    // of a stream-static join is re-evaluated every micro-batch, and
+    // without the cache each batch would re-run the 4-tier strat union +
+    // firstHit windows — bootstrap work, not per-batch work
+    Hydrator.hydratePrepared(aligned, Hydrator.prepare(dims).cached(), jobStart)
       .select(KgPipeline.TripleColumns.map(col): _*)
   }
 

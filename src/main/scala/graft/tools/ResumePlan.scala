@@ -42,12 +42,12 @@ object ResumePlan {
     // must stay a broadcast with no exchange of the page side.
     spark.range(nDone)
       .select(concat(lit("https://synthetic.graft/doc/"), col("id")).as("url"))
-      .withColumn("url_bucket", pmod(xxhash64(col("url")), lit(64)))
+      .withColumn("url_bucket", graft.kg.KgPipeline.urlBucket(col("url")))
       .write.partitionBy("url_bucket").parquet(s"$dir/done_bucketed")
     val shard = (0L until 4L)
     val doneB = spark.read.parquet(s"$dir/done_bucketed")
       .filter(col("url_bucket").isin(shard: _*)).select("url")
-    val pagesB = pages.filter(pmod(xxhash64(col("url")), lit(64)).isin(shard: _*))
+    val pagesB = pages.filter(graft.kg.KgPipeline.urlBucket(col("url")).isin(shard: _*))
     for ((label, side) <- Seq("hinted" -> broadcast(doneB), "aqe" -> doneB)) {
       val dfB = pagesB.join(side, Seq("url"), "left_anti")
       // execute THIS dataset's own QueryExecution (collect reuses it), so

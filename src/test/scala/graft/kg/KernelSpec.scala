@@ -196,13 +196,16 @@ class PostProcessSpec extends AnyFunSuite {
       Inference.Request("b", "h", "t", "en"))
     assert(broken.infer(two) === Seq("", ""))
     assert(calls2 === 1)
-    // an unparseable body is a contract violation too: one attempt only
+    // an unparseable body is TRANSIENT (a proxy error page returned by a
+    // non-throwing transport): retried like a thrown transport fault
     var calls3 = 0
     val garbled = new Inference.TransportClient("vllm-test", { _ =>
-      calls3 += 1; "<html>502 Bad Gateway</html>"
+      calls3 += 1
+      if (calls3 < 3) "<html>502 Bad Gateway</html>"
+      else """{"outputs": ["a", "b"]}"""
     }, maxRetries = 3)
-    assert(garbled.infer(two) === Seq("", ""))
-    assert(calls3 === 1)
+    assert(garbled.infer(two) === Seq("a", "b"))
+    assert(calls3 === 3)
     // pure transport faults (the POST threw) exhaust all retries
     var calls4 = 0
     val down = new Inference.TransportClient("vllm-test", { _ =>

@@ -471,14 +471,21 @@ class KgPipelineSpec extends SparkSpec {
     val outFull = java.nio.file.Files.createTempDirectory("kgbucketfull").toString
     val outShard = java.nio.file.Files.createTempDirectory("kgbucketshard").toString
     val pages = Pages.fixtures(spark)
+    // canonicalize = false: sharding is exact for the per-page stages;
+    // canonicalization is corpus-global by nature and runs per-shard in
+    // bucket mode (cross-shard variants collapse at compaction — the
+    // Config.buckets scaladoc scope), so the parity claim is on the
+    // per-page path
     KgPipeline.runAndCommit(spark, pages, dims, client, outFull,
-      KgPipeline.Config(numPartitions = 2))
+      KgPipeline.Config(numPartitions = 2, canonicalize = false))
     // the same corpus as two disjoint bucket shards (the 10^12-url
     // operating mode: each run broadcasts only its shard's done subset)
     KgPipeline.runAndCommit(spark, pages, dims, client, outShard,
-      KgPipeline.Config(numPartitions = 2, buckets = Some(0 until 32)))
+      KgPipeline.Config(numPartitions = 2, canonicalize = false,
+        buckets = Some(0 until 32)))
     KgPipeline.runAndCommit(spark, pages, dims, client, outShard,
-      KgPipeline.Config(numPartitions = 2, buckets = Some(32 until 64)))
+      KgPipeline.Config(numPartitions = 2, canonicalize = false,
+        buckets = Some(32 until 64)))
     def rows(dir: String) = spark.read.parquet(s"$dir/triples")
       .select("url", "subj_name", "predicate", "obj_name", "obj_final")
       .collect().map(_.toSeq).toSet
@@ -497,7 +504,8 @@ class KgPipelineSpec extends SparkSpec {
     // re-running a shard is incremental (its urls are behind the done-set)
     val n1 = spark.read.parquet(s"$outShard/triples").count()
     KgPipeline.runAndCommit(spark, pages, dims, client, outShard,
-      KgPipeline.Config(numPartitions = 2, buckets = Some(0 until 32)))
+      KgPipeline.Config(numPartitions = 2, canonicalize = false,
+        buckets = Some(0 until 32)))
     assert(spark.read.parquet(s"$outShard/triples").count() === n1)
   }
 
