@@ -107,9 +107,10 @@ object KgPipeline {
       triples: DataFrame,
       lineage: DataFrame,
       rdf: Option[Dataset[Model.RdfTriple]],
-      // Urls whose page failed the infer or parse stage (empty raw after
-      // retry exhaustion, or unsalvageable model output) — the per-doc
-      // failure state the reference keeps as "NA" placeholder rows
+      // (url, failed_stage) rows for pages that failed the infer or parse
+      // stage (failed_stage = "infer": empty raw after retry exhaustion;
+      // "parse": unsalvageable model output) — the per-doc failure state
+      // the reference keeps as "NA" placeholder rows
       // (chtc/preprocess_extraction_direct.py:99-110). The commit entry
       // points EXCLUDE these from the done-set, so a failed page is
       // re-driven by the next run instead of being silently marked done
@@ -295,7 +296,9 @@ object KgPipeline {
 
     val failedUrls = rawParsed
       .filter(col("parse_status") =!= PostProcess.StatusOk)
-      .select("url")
+      .select(col("url"),
+        when(col("parse_status") === PostProcess.StatusInferFailed, "infer")
+          .otherwise("parse").as("failed_stage"))
 
     val rdf = if (cfg.emitRdf) Some(Rdf.fromHydrated(hydrated, dims)) else None
     val cached = dedupCached :+ rawParsed :+ aligned

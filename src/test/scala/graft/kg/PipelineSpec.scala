@@ -404,8 +404,9 @@ class KgPipelineSpec extends SparkSpec {
       .groupBy("stage").agg(sum("failed_rows").as("f"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(failed === Map("infer" -> 1L, "parse" -> 1L))
-    assert(r1.failedUrls.collect().map(_.getString(0)).toSet ===
-      Set("https://t/fail-infer", "https://t/fail-parse"))
+    assert(r1.failedUrls.collect()
+      .map(r => r.getString(0) -> r.getAs[String]("failed_stage")).toMap ===
+      Map("https://t/fail-infer" -> "infer", "https://t/fail-parse" -> "parse"))
     // a legitimately-empty page is NOT a failure: zero triples, status ok
     r1.cleanup()
 
