@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
   *   spark-submit --class graft.kg.Main <jar> \
   *     --pages <parquet dir | "synthetic:<sfDir>"> --out <dir> \
   *     [--partitions N] [--salted] [--no-canonicalize] [--snapshot] \
-  *     [--dedup <minJaccard>] [--open-vocabulary]
+  *     [--dedup <minJaccard>] [--open-vocabulary] [--buckets lo-hi]
   *
   * Maintenance modes (snapshot stores; run instead of a pipeline pass):
   *     --out <dir> --compact            global CC canonicalization rewrite
@@ -25,7 +25,12 @@ import org.apache.spark.sql.functions._
   * --dedup runs the corpus duplicate gate before inference (LSH →
   * verified Jaccard → CC resolution; drops counted in lineage);
   * --open-vocabulary skips the driver small-graph probes (unbounded
-  * entity/dedup spaces go straight to distributed CC).
+  * entity/dedup spaces go straight to distributed CC);
+  * --buckets lo-hi (inclusive url-bucket range, 0-63) shards this run:
+  * only pages in the shard's buckets process, and the resume anti-join
+  * prunes the done-set scan to those bucket directories — a 64-shard
+  * fleet covers the corpus with per-shard broadcast resume joins
+  * (KgPipeline.Config.buckets scaladoc for the exact scope).
   */
 object Main {
 
@@ -81,7 +86,17 @@ object Main {
       saltedAlign = opts.contains("salted"),
       canonicalize = !opts.contains("no-canonicalize"),
       canonLocalProbe = !opts.contains("open-vocabulary"),
-      dedupMinJaccard = opts.get("dedup").map(_.toDouble))
+      dedupMinJaccard = opts.get("dedup").map(_.toDouble),
+      buckets = opts.get("buckets").map { r =>
+        val (lo, hi) = r.split("-") match {
+          case Array(l, h) => (l.trim.toInt, h.trim.toInt)
+          case Array(one) => (one.trim.toInt, one.trim.toInt)
+          case _ => sys.error(s"--buckets expects lo-hi, got: $r")
+        }
+        require(lo >= 0 && hi < KgPipeline.UrlBuckets && lo <= hi,
+          s"--buckets range must sit in 0-${KgPipeline.UrlBuckets - 1}")
+        (lo to hi): Seq[Int]
+      })
     if (opts.contains("snapshot")) {
       val v = KgPipeline.runAndCommitSnapshot(spark, pages, dims, client, outDir, cfg)
       println(s"[graft] committed snapshot v$v at $outDir")
@@ -104,6 +119,7 @@ object Main {
       case "--compact" :: rest => parse(rest, acc + ("compact" -> "1"))
       case "--expire" :: v :: rest => parse(rest, acc + ("expire" -> v))
       case "--grace-ms" :: v :: rest => parse(rest, acc + ("grace-ms" -> v))
+      case "--buckets" :: v :: rest => parse(rest, acc + ("buckets" -> v))
       case other :: _ => sys.error(s"unknown arg: $other")
     }
 }
