@@ -73,18 +73,8 @@ object StreamingKg {
                     dedupWatermark: Option[String] = None,
                     jobStart: java.sql.Timestamp =
                       java.sql.Timestamp.valueOf("2024-06-01 00:00:00")): DataFrame = {
-    val prompting: Seq[Inference.HandlerDict] = Seq(
-      Prompts.StratV3 -> dims.stratDim.select("strat_name")
-        .collect().map(_.getString(0)),
-      Prompts.MineralV0 -> dims.mineralDim.select("mineral")
-        .collect().map(_.getString(0)))
-    val extracted0 = pages
-      .withColumn("text", udf((h: Array[Byte]) => HtmlText.extract(h)).apply(col("html")))
-      .withColumn("hashed_text", sha2(col("text"), 256))
-    val extracted = dedupWatermark
-      .map(w => dedupPagesStream(extracted0, w)).getOrElse(extracted0)
-    val raw = Inference.run(extracted, client, microBatch, prompting)
-    val parsed = PostProcess.triplesDf(raw.toDF())
+    val rawParsed = rawParsedStream(pages, dims, client, microBatch, dedupWatermark)
+    val parsed = PostProcess.explodeParsed(rawParsed)
     val aligned = Linker.align(parsed, Linker.aliasDim(dims))
       .withColumn("obj_final", col("obj_canonical"))
       .withColumn("entity_cluster_id", xxhash64(col("obj_kind"), col("obj_canonical")))
@@ -96,21 +86,51 @@ object StreamingKg {
       .select(KgPipeline.TripleColumns.map(col): _*)
   }
 
+  /** The streaming pipeline's PRE-explode stage: extract → [exact-dedup
+    * gate] → prompt-build → infer → lenient parse, keeping the per-page
+    * `parse_status` discriminator (the batch pipeline's persisted stage
+    * boundary, PostProcess.withParsed). Feed this to
+    * [[snapshotSinkWithFailures]] when the stream must carry the failure
+    * bookkeeping; [[triplesStream]] is this plus explode-align-hydrate. */
+  def rawParsedStream(pages: DataFrame, dims: Dims.Snapshot,
+                      client: Inference.InferenceClient,
+                      microBatch: Int = 200,
+                      dedupWatermark: Option[String] = None): DataFrame = {
+    val prompting: Seq[Inference.HandlerDict] = Seq(
+      Prompts.StratV3 -> dims.stratDim.select("strat_name")
+        .collect().map(_.getString(0)),
+      Prompts.MineralV0 -> dims.mineralDim.select("mineral")
+        .collect().map(_.getString(0)))
+    val extracted0 = pages
+      .withColumn("text", udf((h: Array[Byte]) => HtmlText.extract(h)).apply(col("html")))
+      .withColumn("hashed_text", sha2(col("text"), 256))
+    val extracted = dedupWatermark
+      .map(w => dedupPagesStream(extracted0, w)).getOrElse(extracted0)
+    PostProcess.withParsed(
+      Inference.run(extracted, client, microBatch, prompting).toDF())
+  }
+
   /** Exactly-once micro-batch commit into the snapshot store: a restarted
     * query replays its last batch, so batches at-or-below the manifest's
     * committed batch_id are skipped — replay becomes a no-op instead of a
     * duplicate append. Returns the committed version, None when skipped. */
   def commitBatch(dir: String, table: String, batch: DataFrame,
-                  batchId: Long): Option[Int] = {
+                  batchId: Long): Option[Int] =
+    commitBatchTables(dir, Map(table -> batch), batchId)
+
+  /** Multi-table form of [[commitBatch]]: all tables publish in the SAME
+    * atomic snapshot (or none, on batch replay). */
+  def commitBatchTables(dir: String, tables: Map[String, DataFrame],
+                        batchId: Long): Option[Int] = {
     import graft.sources.SnapshotStore
-    val spark = batch.sparkSession
+    val spark = tables.head._2.sparkSession
     val cur = SnapshotStore.currentVersion(spark, dir)
     val last =
       if (cur == 0) -1L
       else SnapshotStore.readSnapshot(spark, dir, cur)
         .meta.get("batch_id").map(_.toLong).getOrElse(-1L)
     if (batchId <= last) None
-    else Some(SnapshotStore.commit(spark, dir, Map(table -> batch),
+    else Some(SnapshotStore.commit(spark, dir, tables,
       meta = Map("batch_id" -> batchId.toString)))
   }
 
@@ -122,6 +142,45 @@ object StreamingKg {
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         commitBatch(dir, "triples", batch.toDF(), batchId); ()
       }
+
+  /** Streaming sink WITH failure bookkeeping — the streaming form of the
+    * batch commit's "NA" semantics: input is the pre-explode
+    * [[rawParsedStream]], and each micro-batch splits BATCH-SIDE (no
+    * second pass over the source, hence no second inference spend) into
+    *  - `triples`: exploded → aligned → hydrated rows
+    *    (KgPipeline.TripleColumns), and
+    *  - `failed`: (url, failed_stage) for pages whose infer or parse
+    *    failed this batch — an append-only failure log a re-drive job
+    *    anti-joins against the accumulated triples table,
+    * committed together in ONE atomic snapshot (exactly-once via the
+    * batch_id watermark: a replayed micro-batch re-commits neither). */
+  def snapshotSinkWithFailures(rawParsed: DataFrame, dir: String,
+                               dims: Dims.Snapshot,
+                               jobStart: java.sql.Timestamp =
+                                 java.sql.Timestamp.valueOf("2024-06-01 00:00:00")): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    // bootstrap once per query, reused by every micro-batch closure
+    val prepared = Hydrator.prepare(dims).cached()
+    val alias = Linker.aliasDim(dims).cache()
+    rawParsed.writeStream.outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val b = batch.toDF().persist()
+        try {
+          val aligned = Linker.align(PostProcess.explodeParsed(b), alias)
+            .withColumn("obj_final", col("obj_canonical"))
+            .withColumn("entity_cluster_id",
+              xxhash64(col("obj_kind"), col("obj_canonical")))
+          val triples = Hydrator.hydratePrepared(aligned, prepared, jobStart)
+            .select(KgPipeline.TripleColumns.map(col): _*)
+          val failed = b
+            .filter(col("parse_status") =!= PostProcess.StatusOk)
+            .select(col("url"),
+              when(col("parse_status") === PostProcess.StatusInferFailed, "infer")
+                .otherwise("parse").as("failed_stage"))
+          commitBatchTables(dir, Map("triples" -> triples, "failed" -> failed), batchId)
+        } finally b.unpersist()
+        ()
+      }
+  }
 
   /** Periodic batch compaction — the cross-batch step the incremental
     * stream cannot do: global connected-components canonicalization over

@@ -94,6 +94,45 @@ class StreamingSpec extends SparkSpec {
     assert(SnapshotStore.read(spark, storeDir, "triples").get.count() === n1 + 1)
   }
 
+  test("streaming failure bookkeeping: failed urls commit atomically with triples") {
+    import graft.sources.SnapshotStore
+    val pagesDir = java.nio.file.Files.createTempDirectory("failsrc").toString
+    val storeDir = java.nio.file.Files.createTempDirectory("failsink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("failckpt").toString
+    def page(u: String, t: String) =
+      (u, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+        HtmlText.render(t, "en"), t, "en")
+    Seq(
+      page("https://t/ok", "Shakopee Formation in Minnesota."),
+      page("https://t/fail-infer", "Text one."),
+      page("https://t/fail-parse", "Text two."))
+      .toDF("url", "warc_ts", "html", "text", "lang")
+      .write.mode("overwrite").parquet(pagesDir)
+    graft.kg.HealToggle.healed = false
+    val raw = StreamingKg.rawParsedStream(
+      StreamingKg.pagesStream(spark, pagesDir), dims,
+      new graft.kg.HealToggle.HealingClient)
+    val q = StreamingKg.snapshotSinkWithFailures(raw, storeDir, dims)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+
+    // one atomic snapshot carries BOTH tables
+    val failed = SnapshotStore.read(spark, storeDir, "failed").get
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(failed === Map(
+      "https://t/fail-infer" -> "infer", "https://t/fail-parse" -> "parse"))
+    val triples = SnapshotStore.read(spark, storeDir, "triples").get
+    assert(triples.columns.toSeq === KgPipeline.TripleColumns)
+    assert(triples.select("url").collect().map(_.getString(0)).toSet ===
+      Set("https://t/ok"))
+    // replay protection covers the multi-table commit too
+    val v = SnapshotStore.currentVersion(spark, storeDir)
+    assert(StreamingKg.commitBatchTables(storeDir,
+      Map("triples" -> triples.limit(1)), batchId = 0).isEmpty)
+    assert(SnapshotStore.currentVersion(spark, storeDir) === v)
+  }
+
   test("compaction: cross-batch surface variants collapse to one canonical entity") {
     import graft.sources.SnapshotStore
     val dir = java.nio.file.Files.createTempDirectory("compact").toString
