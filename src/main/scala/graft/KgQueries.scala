@@ -544,6 +544,32 @@ object KgQueries {
         .limit(10)
     },
 
+    // §3.2 END-TO-END: POST /search_to_graph_fast (api/engine.py:52-62 →
+    // llm.py:410-441) — one query through the reference's cached entry point:
+    // retrieval ranks the corpus against the question (askxdd.py:77-120),
+    // the bounded top-k result list probes the TRIPLET CACHE by page key
+    // (llm.py:369-407 — our triples store IS that cache, SURVEY §3.2), and
+    // each hit returns its per-paragraph graph serialized as a Turtle
+    // document (llm.py:437-441). Retrieval is the deterministic whole-word
+    // case-insensitive mention-count scorer over the fixture corpus; the
+    // probe joins the SAME per-page TTL documents kg_rdf_ttl gates. Oracle:
+    // retrieval scores hand-counted from the fixture texts, TTL hashes from
+    // the pinned golden set — a two-sided check on the retrieval half.
+    "kg_search_to_graph" -> { (s, dir) =>
+      import s.implicits._
+      val terms = SearchQuestionTerms.toArray
+      val scored = Pages.fixtures(s)
+        .select(col("url"), col("text")).as[(String, String)]
+        .mapPartitions { it =>
+          val scanner = MentionScanner(terms, ignoreCase = true)
+          it.map { case (url, text) => (url, scanner.findAll(text).size.toLong) }
+        }.toDF("url", "score")
+        .filter(col("score") > 0)
+        .orderBy(desc("score"), col("url")).limit(SearchK)
+      scored.join(Rdf.toTtl(fixtureRdf(s)), Seq("url"))
+        .select(col("url"), col("score"), md5(col("ttl")).as("ttl_md5"))
+    },
+
     // GraphOutput regrouping: the reference's output unit is a per-paragraph
     // graph (schema.py:432-447 GraphOutput = text hash + triplet list); this
     // regroups the exploded triples back to one row per page with a sorted,
@@ -604,6 +630,12 @@ object KgQueries {
 
   /** The retrieval question for the semantic gate query. */
   val SemanticQuery = "spark join table window stream"
+
+  /** §3.2's question terms + result-list size for the composed
+    * search_to_graph gate query (scored over the fixture corpus, whose
+    * cached graphs the golden TTL set pins). */
+  val SearchQuestionTerms: Seq[String] = Seq("minnesota", "formation")
+  val SearchK = 3
 
   /** The hybrid gate's topic filter (askxdd.py's topic_list containment
     * predicate, over the corpus `source` facet) and per-scorer result-list
@@ -946,6 +978,17 @@ object KgQueries {
              len(regexp_extract_all(text, '\bjoin\b')) AS score
            FROM documents)
          WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 10""",
+    // Retrieval half hand-counted from the fixture texts (whole-word,
+    // case-insensitive "minnesota"/"formation" hits: Sauk 2+3, Shakopee 1+1,
+    // gold 1+0, the three parser fixtures 0 — engine never consulted); TTL
+    // half from the pinned golden set, like kg_rdf_ttl.
+    "kg_search_to_graph" ->
+      s"""SELECT h.url AS url, CAST(h.score AS BIGINT) AS score,
+            g.ttl_md5 AS ttl_md5
+          FROM (VALUES ('https://fixtures.graft/gold', 1),
+                       ('https://fixtures.graft/sauk', 5),
+                       ('https://fixtures.graft/shakopee', 2)) h(url, score)
+          JOIN (VALUES $goldenTtlValues) g(url, ttl_md5) ON h.url = g.url""",
     "kg_rdf_triples" ->
       s"SELECT * FROM (VALUES $goldenRdfValues) t(url, subj, pred, obj, obj_is_literal, lang, datatype)",
     "kg_rdf_ttl" ->
