@@ -216,6 +216,28 @@ object KgQueries {
         .select(col("obj_name").as("name"), col("obj_canonical"), col("obj_linked"))
     },
 
+    // J2 tier-3 — the reference's kNN-cosine alignment geometry itself
+    // (alignment.py:110-119) under the deterministic hashed char-3-gram
+    // embedding: argmax cosine against the broadcast known-entity matrix,
+    // swap iff sim >= 0.8, through the REAL tier-1 → tier-3 chain. The
+    // oracle recomputes the IDENTICAL featurization and kernel in DuckDB
+    // (md5 bucketing, 64-dim gram histograms, list_dot_product): gram
+    // counts are small exact ints and sqrt/mult/div are correctly rounded,
+    // so sims are bit-identical across engines — the threshold and argmax
+    // decisions need no rounding epsilon.
+    "kg_align_cosine" -> { (s, dir) =>
+      import s.implicits._
+      val alias = CosineAliasDict.toDF("alias_norm", "canonical")
+        .withColumn("kind", lit(Model.ObjKind.Strat))
+      val names = CosineTestNames.toDF("n")
+        .select(lit("https://q/cosine").as("url"), lit("h").as("hashed_text"),
+          lit("m").as("model_id"), lit("Minnesota").as("subj_name"),
+          lit("is in").as("predicate"),
+          col("n").as("obj_name"), lit(Model.ObjKind.Strat).as("obj_kind"))
+      Linker.alignCosine(Linker.align(names, alias), alias, minSim = 0.8)
+        .select(col("obj_name").as("name"), col("obj_canonical"), col("obj_linked"))
+    },
+
     // The COMPOSED corpus-dedup pipeline gate (Config.dedupMinJaccard):
     // a 60-doc corpus slice plus exact copies of the first 20 docs runs the
     // full extract → dedup gate (MinHash-LSH → candidate Jaccard → CC) →
@@ -637,6 +659,20 @@ object KgQueries {
   val SearchQuestionTerms: Seq[String] = Seq("minnesota", "formation")
   val SearchK = 3
 
+  /** kg_align_cosine fixtures: a small known-entity dictionary
+    * (normalized alias → canonical) and surface forms covering tier-1
+    * exact linking, tier-3 misspelling recovery at sim >= 0.8, and an
+    * unrelated name no tier may link. */
+  val CosineAliasDict: Seq[(String, String)] = Seq(
+    ("abbey head bed", "Abbey Head Bed"),
+    ("shakopee formation", "Shakopee Formation"),
+    ("everton formation", "Everton Formation"),
+    ("st. peter sandstone", "St. Peter Sandstone"),
+    ("quartz", "quartz"))
+  val CosineTestNames: Seq[String] = Seq(
+    "Abbey Haed Bed.", "Shakope Formation", "Evertn Formation",
+    "St Peter Sandstone", "totally unrelated zq", "Shakopee Formation")
+
   /** The hybrid gate's topic filter (askxdd.py's topic_list containment
     * predicate, over the corpus `source` facet) and per-scorer result-list
     * size (Weaviate fuses the two bounded top-K lists, never a global
@@ -784,6 +820,52 @@ object KgQueries {
            ('Waldron Shael', 'Waldron Shale', true),
            ('Waldrop Q', 'Waldrop Q', false)
          ) t(name, obj_canonical, obj_linked)""",
+    // Full re-derivation of the tier-1 + tier-3 chain in DuckDB: identical
+    // normalization, gram extraction, md5 bucketing, 64-dim gram
+    // histograms, cosine kernel, threshold and argmax — no engine output
+    // and no epsilon (see the query comment on bit-identical sims).
+    "kg_align_cosine" -> {
+      val hex = "0123456789abcdef"
+      val dim = Linker.CosineDim
+      val sums = (0 until dim)
+        .map(d => s"sum(CASE WHEN b = $d THEN 1 ELSE 0 END)::DOUBLE")
+        .mkString(", ")
+      val uvals = CosineTestNames.map(n => s"('$n')").mkString(", ")
+      val avals = CosineAliasDict.map { case (a, c) => s"('$a', '$c')" }.mkString(", ")
+      def bucket(g: String) =
+        s"((strpos('$hex', substring(md5($g), 1, 1)) - 1) * 16 + " +
+          s"(strpos('$hex', substring(md5($g), 2, 1)) - 1)) % $dim"
+      s"""WITH u(name) AS (VALUES $uvals),
+            d(anorm, canonical) AS (VALUES $avals),
+            un AS (SELECT name,
+              regexp_replace(regexp_replace(lower(trim(name)), '\\.+$$', ''), '\\s+', ' ', 'g') AS nrm
+              FROM u),
+            t1 AS (SELECT un.name, un.nrm, d.canonical AS exact_c
+              FROM un LEFT JOIN d ON un.nrm = d.anorm),
+            ug AS (SELECT name,
+              unnest(list_distinct([substring(nrm, i, 3) for i in generate_series(1, length(nrm) - 2)])) AS g
+              FROM t1 WHERE exact_c IS NULL),
+            ub AS (SELECT name, ${bucket("g")} AS b FROM ug),
+            uv AS (SELECT name, [$sums] AS v FROM ub GROUP BY name),
+            ag AS (SELECT anorm, canonical,
+              unnest(list_distinct([substring(anorm, i, 3) for i in generate_series(1, length(anorm) - 2)])) AS g
+              FROM d),
+            ab AS (SELECT anorm, canonical, ${bucket("g")} AS b FROM ag),
+            av AS (SELECT anorm, canonical, [$sums] AS v
+              FROM ab GROUP BY anorm, canonical),
+            scored AS (SELECT uv.name, av.anorm, av.canonical,
+              list_dot_product(uv.v, av.v) /
+                (sqrt(list_dot_product(uv.v, uv.v)) * sqrt(list_dot_product(av.v, av.v))) AS sim
+              FROM uv CROSS JOIN av),
+            best AS (SELECT name, canonical FROM (
+              SELECT name, canonical,
+                row_number() OVER (PARTITION BY name ORDER BY sim DESC, anorm) AS rn
+              FROM scored WHERE sim >= 0.8) WHERE rn = 1)
+          SELECT t1.name AS name,
+            coalesce(t1.exact_c, best.canonical, t1.name) AS obj_canonical,
+            (t1.exact_c IS NOT NULL OR best.canonical IS NOT NULL) AS obj_linked
+          FROM t1 LEFT JOIN best ON t1.name = best.name"""
+    },
     // dedup semantics at threshold 1.0 = token-set equality classes: one
     // kept fingerprint per class, drops = members - classes. Replicates the
     // gate's tokenization (split on space, drop empties, distinct) exactly;

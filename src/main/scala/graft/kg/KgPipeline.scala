@@ -51,6 +51,13 @@ object KgPipeline {
       // lever; scoring stays exact). Only read when fuzzyAlignMinJaccard
       // is set.
       fuzzyStopGramMaxDf: Option[Int] = None,
+      // Some(minSim) => tier-3 cosine alignment (Linker.alignCosine): names
+      // still unlinked after the earlier tiers get the reference's own kNN
+      // geometry — argmax cosine against the broadcast known-entity
+      // embedding matrix, swap iff sim >= minSim (alignment.py:110-119,
+      // under the deterministic hashed-gram embedding). Off by default for
+      // the same reason as the fuzzy tier.
+      cosineAlignMinSim: Option[Double] = None,
       canonicalize: Boolean = true,
       // false => entity space is known-unbounded (open-vocabulary web
       // extraction): go straight to distributed CC, skip the driver probe.
@@ -230,9 +237,12 @@ object KgPipeline {
     val aligned0 =
       if (cfg.saltedAlign) Linker.alignSalted(parsed, alias, cfg.saltBuckets)
       else Linker.align(parsed, alias)
-    val aligned = cfg.fuzzyAlignMinJaccard
+    val aligned1 = cfg.fuzzyAlignMinJaccard
       .map(t => Linker.alignFuzzy(aligned0, alias, t, cfg.fuzzyStopGramMaxDf))
       .getOrElse(aligned0)
+    val aligned = cfg.cosineAlignMinSim
+      .map(t => Linker.alignCosine(aligned1, alias, t))
+      .getOrElse(aligned1)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // CC canonicalization over the candidate-pair edges.

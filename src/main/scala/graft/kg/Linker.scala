@@ -210,6 +210,83 @@ object Linker {
       .drop("f_kind", "f_name", "fuzzy_canonical")
   }
 
+  /** Dimensionality of the hashed char-3-gram embedding used by
+    * [[alignCosine]]. 64 buckets separate misspellings (sim 0.82-0.95 on
+    * the fixture set) from unrelated names (≤0.3); 16 is measurably too
+    * coarse (an unrelated name reached 0.66). */
+  val CosineDim = 64
+
+  /** Bucket ids of a normalized name's distinct char-3-grams: bucket =
+    * first two hex digits of md5(gram) mod `dim`. Pure expression work. */
+  def gramBuckets(normCol: Column, dim: Int = CosineDim): Column =
+    transform(charGrams(normCol),
+      g => pmod(conv(substring(md5(g), 1, 2), 16, 10).cast("int"), lit(dim)))
+
+  /** Dense `dim`-vector from a bucket-id array: component d counts the
+    * grams in bucket d. A per-name histogram, not an aggregation — stays
+    * inside the projection. */
+  def bucketVector(bucketsCol: Column, dim: Int = CosineDim): Column =
+    array((0 until dim).map(d =>
+      size(filter(bucketsCol, b => b === lit(d))).cast("double")): _*)
+
+  /** Tier-3 cosine alignment — the reference's own alignment geometry
+    * (alignment.py:110-119): embed the still-unlinked name, score it
+    * against the ENTIRE known-entity embedding matrix, swap for the argmax
+    * entity iff cosine >= `minSim`, else keep the original. The reference's
+    * sentence-transformer embeddings (nondeterministic weights; binaries
+    * absent from the repo) are replaced by a deterministic hashed
+    * char-3-gram bag ([[gramBuckets]]/[[bucketVector]]); the kNN machinery
+    * — broadcast embedding matrix, one-pass codegen'd cosine kernel,
+    * min-struct argmax, threshold gate — is the real thing.
+    *
+    * Physical shape: the dictionary matrix broadcasts (the reference's 45k
+    * names × 64 doubles ≈ 23 MB — the same in-RAM matrix alignment.py
+    * scans), and scoring is a map over the bounded broadcast: no shuffle
+    * anywhere except the distinct() on unlinked names and the per-name
+    * argmax aggregate (map-side combined). Per-name cost is O(|dict|·dim),
+    * exactly the reference's dense matmul. When the dictionary outgrows a
+    * broadcast, prune candidates first with the hyperplane-LSH sign-bucket
+    * equi-join of ops.Similarity (score only same-bucket entries) — the
+    * same candidate-generation family as [[alignFuzzy]]'s gram join.
+    *
+    * Determinism: gram counts are small exact ints, so dot/norms are exact
+    * in double and sqrt/mult/div are correctly rounded — sims are
+    * bit-reproducible (and bit-equal to an engine repeating the same
+    * arithmetic, which the gate oracle does). Ties break to the
+    * lexical-min alias. Output schema equals [[align]]'s. */
+  def alignCosine(aligned: DataFrame, alias: DataFrame,
+                  minSim: Double = 0.8, dim: Int = CosineDim): DataFrame = {
+    val unlinked = aligned.filter(!col("obj_linked"))
+      .select(col("obj_kind").as("f_kind"), col("obj_name").as("f_name"))
+      .distinct()
+      .withColumn("f_bks", gramBuckets(normName(col("f_name")), dim))
+      .withColumn("f_vec", bucketVector(col("f_bks"), dim))
+      .drop("f_bks")
+    val dict = alias
+      .select(col("kind").as("a_kind"), col("alias_norm"),
+        col("canonical").as("a_canonical"))
+      .withColumn("a_bks", gramBuckets(col("alias_norm"), dim))
+      .withColumn("a_vec", bucketVector(col("a_bks"), dim))
+      .drop("a_bks")
+    val scored = unlinked.join(broadcast(dict), col("f_kind") === col("a_kind"))
+      .withColumn("sim",
+        graft.plans.Expressions.cosine_sim(col("f_vec"), col("a_vec")))
+      .filter(col("sim") >= minSim)
+    val best = scored.groupBy("f_kind", "f_name")
+      .agg(min(struct((-col("sim")).as("ns"),
+        col("alias_norm").as("alias_norm"),
+        col("a_canonical").as("a_canonical"))).as("m"))
+      .select(col("f_kind"), col("f_name"),
+        col("m.a_canonical").as("cos_canonical"))
+    aligned
+      .join(best, col("obj_kind") === best("f_kind") &&
+        col("obj_name") === best("f_name") && !col("obj_linked"), "left")
+      .withColumn("obj_canonical",
+        coalesce(when(!col("obj_linked"), col("cos_canonical")), col("obj_canonical")))
+      .withColumn("obj_linked", col("obj_linked") || col("cos_canonical").isNotNull)
+      .drop("f_kind", "f_name", "cos_canonical")
+  }
+
   /** Skew-safe shuffle variant: salt the probe key S ways, replicate the
     * build side S times, join on (key, salt). Identical output to [[align]].
     */

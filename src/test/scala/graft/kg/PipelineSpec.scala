@@ -573,6 +573,62 @@ class KgPipelineSpec extends SparkSpec {
     assert(waldron.getAs[Boolean]("obj_linked"))
   }
 
+  private def out_rows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getString(0), r.getString(1), r.getBoolean(2))).toSet
+
+  test("tier-3 cosine alignment: argmax over the matrix links misspellings only") {
+    val alias = Seq(
+      ("abbey head bed", "Abbey Head Bed"),
+      ("shakopee formation", "Shakopee Formation"),
+      ("everton formation", "Everton Formation"))
+      .toDF("alias_norm", "canonical")
+      .withColumn("kind", lit(Model.ObjKind.Strat))
+    val names = Seq("Abbey Haed Bed.", "Evertn Formation",
+        "totally unrelated zq", "Shakopee Formation")
+      .toDF("n")
+      .select(lit("https://t/cos").as("url"), lit("h").as("hashed_text"),
+        lit("m").as("model_id"), lit("Minnesota").as("subj_name"),
+        lit("is in").as("predicate"),
+        col("n").as("obj_name"), lit(Model.ObjKind.Strat).as("obj_kind"))
+    val outDf = Linker.alignCosine(Linker.align(names, alias), alias)
+      .select("obj_name", "obj_canonical", "obj_linked")
+    // the dictionary matrix is a broadcast build side — scoring never
+    // shuffles the name side (the only exchanges serve distinct/argmax)
+    val plan = outDf.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+    val out = out_rows(outDf)
+    assert(out === Set(
+      ("Abbey Haed Bed.", "Abbey Head Bed", true),       // sim 0.825
+      ("Evertn Formation", "Everton Formation", true),   // argmax beats shakopee 0.67
+      ("totally unrelated zq", "totally unrelated zq", false), // max sim ≤ 0.3
+      ("Shakopee Formation", "Shakopee Formation", true))) // tier-1, untouched
+    // a sky-high threshold links nothing beyond the exact tier
+    val strict = Linker.alignCosine(Linker.align(names, alias), alias, minSim = 0.99)
+    assert(strict.filter(col("obj_linked")).count() === 1)
+  }
+
+  test("tier-3 cosine alignment wired through the pipeline config") {
+    val text = "The Waldron Shael is exposed near Minnesota."
+    val page = Seq(("https://t/cos-pipe",
+      java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+      HtmlText.render(text, "en"), text, "en"))
+      .toDF("url", "warc_ts", "html", "text", "lang")
+    val cosClient = Inference.defaultClient(
+      Dims.pinnedStrat.map(_.strat_name).toArray :+ "Waldron Shael",
+      Dims.gazetteer.map(_.name).toArray, Array())
+    // same fixture as the fuzzy tier: dim knows only "Waldron Shale";
+    // cosine(waldron shael, waldron shale) = 0.859 >= 0.8 links it, and
+    // prefer-linked canonicalization + hydration land on the dim record
+    val on = KgPipeline.run(spark, page, dims, cosClient,
+      KgPipeline.Config(numPartitions = 2,
+        cosineAlignMinSim = Some(0.8))).triples
+      .filter(col("obj_name") === "Waldron Shael").collect().head
+    assert(on.getAs[Boolean]("obj_linked"))
+    assert(on.getAs[String]("obj_final") === "Waldron Shale")
+    assert(on.getAs[Long]("strat_name_id") === 4260L)
+  }
+
   test("AQE-managed resume anti-join equals the broadcast-hinted path") {
     val outDir = java.nio.file.Files.createTempDirectory("kgdonedual").toString
     val pages = Pages.fixtures(spark)
