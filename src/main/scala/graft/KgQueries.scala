@@ -521,34 +521,7 @@ object KgQueries {
     // cross-engine fp drift.
     "kg_retrieval_hybrid" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
-      val docs = Tables.documents(s, dir).filter(col("source").isin(HybridTopics: _*))
-      val lex = mentionsDf(s, dir, Seq("spark", "join"))
-        .groupBy("doc_id").agg(count(lit(1)).as("lex_score"))
-      val tok = docs.select(col("doc_id"),
-          explode(filter(split(col("text"), " "), t => t =!= "")).as("tok"))
-        .withColumn("b", substring(md5(col("tok")), 1, 1))
-      val sums = (0 until 16).map(i =>
-        sum(when(col("b") === HexDigits(i).toString, 1).otherwise(0))
-          .cast("double").as(s"c$i"))
-      val emb = tok.groupBy("doc_id").agg(sums.head, sums.tail: _*)
-        .select(col("doc_id"),
-          array((0 until 16).map(i => col(s"c$i")): _*).as("embedding"))
-      val qv = semanticQueryVector(SemanticQuery)
-      val qNorm = math.sqrt(qv.map(x => x * x).sum)
-      val qCol = array(qv.map(lit): _*)
-      // checkpointed: BOTH top-K lists consume it — without the pin the
-      // mention scan + embedding aggregation would run twice per execution
-      val scored = docs.select("doc_id")
-        .join(lex, Seq("doc_id"), "left")
-        .join(emb, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("lex_score"), lit(0L)).as("lex_score"),
-          // token-less docs have no embedding row: rank last, like a vector
-          // index that never returns them
-          coalesce(round(graft.ops.Similarity.dot(col("embedding"), qCol) /
-            (graft.ops.Similarity.norm(col("embedding")) * lit(qNorm)), 4),
-            lit(-1.0)).as("sem_score"))
-        .localCheckpoint(true)
+      val scored = hybridScored(s, dir)
       // top-K list per scorer: orderBy+limit compiles to TakeOrdered; the
       // rank window then runs over the ALREADY-BOUNDED K-row list
       def topList(by: String, rank: String) = scored
@@ -562,6 +535,38 @@ object KgQueries {
           round(coalesce(lit(0.5) / (lit(60) + col("rank_sem")), lit(0.0)) +
             coalesce(lit(0.5) / (lit(60) + col("rank_lex")), lit(0.0)) +
             lit(1e-9), 6).as("score"))
+        .orderBy(desc("score"), col("doc_id"))
+        .limit(10)
+    },
+
+    // S1, HYBRID fusion mode 2 (askxdd.py:77-120): Weaviate's OTHER fusion
+    // algorithm, relativeScoreFusion — each scorer's bounded top-K list is
+    // min-max normalized to [0,1] over that list, and the fused score is
+    // alpha*norm_vector + (1-alpha)*norm_lexical with Weaviate's default
+    // alpha = 0.75. Same scale shape as the RRF variant: TakeOrdered lists,
+    // a 1-row broadcast min/max per list (never a global scan), full-outer
+    // fuse. Normalization inputs are exact on both engines (integer lex
+    // counts, round(,4) cosines), so the min-max division is the same IEEE
+    // op both sides; round(,6) pins the fused score. A degenerate all-equal
+    // list normalizes to 1.0 (documented choice, mirrored in the oracle).
+    "kg_retrieval_hybrid_rel" -> { (s, dir) =>
+      val scored = hybridScored(s, dir)
+      def topNorm(by: String, norm: String) = {
+        val top = scored.orderBy(desc(by), col("doc_id")).limit(HybridK)
+          .select(col("doc_id"), col(by).cast("double").as("sc"))
+        val mm = top.agg(min(col("sc")).as("mn"), max(col("sc")).as("mx"))
+        top.crossJoin(broadcast(mm))
+          .select(col("doc_id"),
+            when(col("mx") === col("mn"), lit(1.0))
+              .otherwise((col("sc") - col("mn")) / (col("mx") - col("mn")))
+              .as(norm))
+      }
+      topNorm("lex_score", "norm_lex")
+        .join(topNorm("sem_score", "norm_sem"), Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          round(lit(0.75) * coalesce(col("norm_sem"), lit(0.0)) +
+            lit(0.25) * coalesce(col("norm_lex"), lit(0.0)) + lit(1e-9), 6)
+            .as("score"))
         .orderBy(desc("score"), col("doc_id"))
         .limit(10)
     },
@@ -653,6 +658,40 @@ object KgQueries {
   /** The retrieval question for the semantic gate query. */
   val SemanticQuery = "spark join table window stream"
 
+  /** DuckDB twin of [[hybridScored]]: the CTE chain ending in
+    * `scored(doc_id, lex_score, sem_score)`, shared by both hybrid-fusion
+    * oracles. Emitted WITHOUT the leading WITH so callers can append their
+    * fusion-specific CTEs. */
+  private lazy val hybridScoredSql: String = {
+    val qv = semanticQueryVector(SemanticQuery)
+    val qNorm = math.sqrt(qv.map(x => x * x).sum)
+    val sums = (0 until 16)
+      .map(i => s"sum(CASE WHEN b = '${HexDigits(i)}' THEN 1 ELSE 0 END)::DOUBLE")
+      .mkString(", ")
+    val qvSql = qv.mkString("[", ", ", "]")
+    val topics = HybridTopics.map(t => s"'$t'").mkString(", ")
+    s"""docs AS (
+            SELECT doc_id, text FROM documents WHERE source IN ($topics)),
+          lex AS (
+            SELECT doc_id,
+              len(regexp_extract_all(text, '\\bspark\\b')) +
+              len(regexp_extract_all(text, '\\bjoin\\b')) AS lex_score
+            FROM docs),
+          tok AS (
+            SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+            FROM docs),
+          b AS (SELECT doc_id, substr(md5(tok), 1, 1) AS b FROM tok),
+          emb AS (SELECT doc_id, [$sums] AS emb FROM b GROUP BY doc_id),
+          sem AS (
+            SELECT docs.doc_id,
+              coalesce(round(list_dot_product(emb, $qvSql) /
+                (sqrt(list_dot_product(emb, emb)) * $qNorm), 4), -1.0) AS sem_score
+            FROM docs LEFT JOIN emb ON docs.doc_id = emb.doc_id),
+          scored AS (
+            SELECT lex.doc_id, lex_score, sem_score
+            FROM lex JOIN sem ON lex.doc_id = sem.doc_id)"""
+  }
+
   /** §3.2's question terms + result-list size for the composed
     * search_to_graph gate query (scored over the fixture corpus, whose
     * cached graphs the golden TTL set pins). */
@@ -692,6 +731,40 @@ object KgQueries {
       v(((h(0) >> 4) & 0xf)) += 1.0
     }
     v
+  }
+
+  /** Shared scaffold of the two hybrid-fusion gate queries: the
+    * topic-filtered corpus scored by BOTH rankers — lexical mention count
+    * and semantic cosine of the hashed bag-of-words embedding against the
+    * question vector. localCheckpointed because both bounded top-K lists
+    * consume it; without the pin the mention scan + embedding aggregation
+    * would run twice per execution. Token-less docs get sem_score −1
+    * (a vector index never returns them). */
+  private def hybridScored(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).filter(col("source").isin(HybridTopics: _*))
+    val lex = mentionsDf(s, dir, Seq("spark", "join"))
+      .groupBy("doc_id").agg(count(lit(1)).as("lex_score"))
+    val tok = docs.select(col("doc_id"),
+        explode(filter(split(col("text"), " "), t => t =!= "")).as("tok"))
+      .withColumn("b", substring(md5(col("tok")), 1, 1))
+    val sums = (0 until 16).map(i =>
+      sum(when(col("b") === HexDigits(i).toString, 1).otherwise(0))
+        .cast("double").as(s"c$i"))
+    val emb = tok.groupBy("doc_id").agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"),
+        array((0 until 16).map(i => col(s"c$i")): _*).as("embedding"))
+    val qv = semanticQueryVector(SemanticQuery)
+    val qNorm = math.sqrt(qv.map(x => x * x).sum)
+    val qCol = array(qv.map(lit): _*)
+    docs.select("doc_id")
+      .join(lex, Seq("doc_id"), "left")
+      .join(emb, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("lex_score"), lit(0L)).as("lex_score"),
+        coalesce(round(graft.ops.Similarity.dot(col("embedding"), qCol) /
+          (graft.ops.Similarity.norm(col("embedding")) * lit(qNorm)), 4),
+          lit(-1.0)).as("sem_score"))
+      .localCheckpoint(true)
   }
 
   /** The ten Sauk-triplet object nodes, by reference rule (entity_name of
@@ -1014,33 +1087,7 @@ object KgQueries {
           FROM emb ORDER BY score DESC, doc_id LIMIT 10"""
     },
     "kg_retrieval_hybrid" -> {
-      val qv = semanticQueryVector(SemanticQuery)
-      val qNorm = math.sqrt(qv.map(x => x * x).sum)
-      val sums = (0 until 16)
-        .map(i => s"sum(CASE WHEN b = '${HexDigits(i)}' THEN 1 ELSE 0 END)::DOUBLE")
-        .mkString(", ")
-      val qvSql = qv.mkString("[", ", ", "]")
-      val topics = HybridTopics.map(t => s"'$t'").mkString(", ")
-      s"""WITH docs AS (
-            SELECT doc_id, text FROM documents WHERE source IN ($topics)),
-          lex AS (
-            SELECT doc_id,
-              len(regexp_extract_all(text, '\\bspark\\b')) +
-              len(regexp_extract_all(text, '\\bjoin\\b')) AS lex_score
-            FROM docs),
-          tok AS (
-            SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
-            FROM docs),
-          b AS (SELECT doc_id, substr(md5(tok), 1, 1) AS b FROM tok),
-          emb AS (SELECT doc_id, [$sums] AS emb FROM b GROUP BY doc_id),
-          sem AS (
-            SELECT docs.doc_id,
-              coalesce(round(list_dot_product(emb, $qvSql) /
-                (sqrt(list_dot_product(emb, emb)) * $qNorm), 4), -1.0) AS sem_score
-            FROM docs LEFT JOIN emb ON docs.doc_id = emb.doc_id),
-          scored AS (
-            SELECT lex.doc_id, lex_score, sem_score
-            FROM lex JOIN sem ON lex.doc_id = sem.doc_id),
+      s"""WITH $hybridScoredSql,
           lex_top AS (
             SELECT doc_id, row_number() OVER (ORDER BY lex_score DESC, doc_id) AS rank_lex
             FROM (SELECT * FROM scored ORDER BY lex_score DESC, doc_id LIMIT $HybridK)),
@@ -1051,6 +1098,33 @@ object KgQueries {
             round(coalesce(0.5 / (60 + rank_sem), 0.0) +
               coalesce(0.5 / (60 + rank_lex), 0.0) + 1e-9, 6) AS score
           FROM lex_top FULL OUTER JOIN sem_top ON lex_top.doc_id = sem_top.doc_id
+          ORDER BY score DESC, doc_id LIMIT 10"""
+    },
+    // Relative-score fusion: same scored CTE, min-max normalize each top-K
+    // list (all-equal list -> 1.0, the engine-side documented choice), fuse
+    // 0.75*sem + 0.25*lex.
+    "kg_retrieval_hybrid_rel" -> {
+      s"""WITH $hybridScoredSql,
+          lex_top AS (
+            SELECT doc_id, lex_score::DOUBLE AS sc
+            FROM scored ORDER BY lex_score DESC, doc_id LIMIT $HybridK),
+          sem_top AS (
+            SELECT doc_id, sem_score::DOUBLE AS sc
+            FROM scored ORDER BY sem_score DESC, doc_id LIMIT $HybridK),
+          lex_n AS (
+            SELECT doc_id, CASE WHEN mx = mn THEN 1.0
+              ELSE (sc - mn) / (mx - mn) END AS norm_lex
+            FROM (SELECT doc_id, sc, min(sc) OVER () AS mn, max(sc) OVER () AS mx
+                  FROM lex_top)),
+          sem_n AS (
+            SELECT doc_id, CASE WHEN mx = mn THEN 1.0
+              ELSE (sc - mn) / (mx - mn) END AS norm_sem
+            FROM (SELECT doc_id, sc, min(sc) OVER () AS mn, max(sc) OVER () AS mx
+                  FROM sem_top))
+          SELECT coalesce(lex_n.doc_id, sem_n.doc_id) AS doc_id,
+            round(0.75 * coalesce(norm_sem, 0.0) +
+              0.25 * coalesce(norm_lex, 0.0) + 1e-9, 6) AS score
+          FROM lex_n FULL OUTER JOIN sem_n ON lex_n.doc_id = sem_n.doc_id
           ORDER BY score DESC, doc_id LIMIT 10"""
     },
     "kg_retrieval_topk" ->
