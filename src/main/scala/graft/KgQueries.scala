@@ -707,10 +707,17 @@ object KgQueries {
     ("shakopee formation", "Shakopee Formation"),
     ("everton formation", "Everton Formation"),
     ("st. peter sandstone", "St. Peter Sandstone"),
-    ("quartz", "quartz"))
+    ("quartz", "quartz"),
+    // sub-gram-length alias: exercises charGrams' whole-name fallback on
+    // the dictionary side (oracle mirrors it in the ag CTE)
+    ("au", "Gold Au"))
   val CosineTestNames: Seq[String] = Seq(
     "Abbey Haed Bed.", "Shakope Formation", "Evertn Formation",
-    "St Peter Sandstone", "totally unrelated zq", "Shakopee Formation")
+    "St Peter Sandstone", "totally unrelated zq", "Shakopee Formation",
+    // short names: "Au." links tier-1 exact after normalization; "qz"
+    // exercises the whole-name-gram fallback on the unlinked side (its one
+    // bucket, 56, matches no alias mass -> stays unlinked)
+    "Au.", "qz")
 
   /** The hybrid gate's topic filter (askxdd.py's topic_list containment
     * predicate, over the corpus `source` facet) and per-scorer result-list
@@ -916,12 +923,16 @@ object KgQueries {
             t1 AS (SELECT un.name, un.nrm, d.canonical AS exact_c
               FROM un LEFT JOIN d ON un.nrm = d.anorm),
             ug AS (SELECT name,
-              unnest(list_distinct([substring(nrm, i, 3) for i in generate_series(1, length(nrm) - 2)])) AS g
+              unnest(CASE WHEN length(nrm) >= 3
+                THEN list_distinct([substring(nrm, i, 3) for i in generate_series(1, length(nrm) - 2)])
+                ELSE [nrm] END) AS g
               FROM t1 WHERE exact_c IS NULL),
             ub AS (SELECT name, ${bucket("g")} AS b FROM ug),
             uv AS (SELECT name, [$sums] AS v FROM ub GROUP BY name),
             ag AS (SELECT anorm, canonical,
-              unnest(list_distinct([substring(anorm, i, 3) for i in generate_series(1, length(anorm) - 2)])) AS g
+              unnest(CASE WHEN length(anorm) >= 3
+                THEN list_distinct([substring(anorm, i, 3) for i in generate_series(1, length(anorm) - 2)])
+                ELSE [anorm] END) AS g
               FROM d),
             ab AS (SELECT anorm, canonical, ${bucket("g")} AS b FROM ag),
             av AS (SELECT anorm, canonical, [$sums] AS v

@@ -307,8 +307,7 @@ object KgPipeline {
     val failedUrls = rawParsed
       .filter(col("parse_status") =!= PostProcess.StatusOk)
       .select(col("url"),
-        when(col("parse_status") === PostProcess.StatusInferFailed, "infer")
-          .otherwise("parse").as("failed_stage"))
+        PostProcess.failedStage(col("parse_status")).as("failed_stage"))
 
     val rdf = if (cfg.emitRdf) Some(Rdf.fromHydrated(hydrated, dims)) else None
     val cached = dedupCached :+ rawParsed :+ aligned

@@ -201,14 +201,26 @@ object Linker {
         col("alias_norm").as("alias_norm"),
         col("a_canonical").as("a_canonical"))).as("m"))
       .select(col("f_kind"), col("f_name"), col("m.a_canonical").as("fuzzy_canonical"))
+    applyTierSwap(aligned, best, "fuzzy_canonical")
+  }
+
+  /** Shared rebind of a tier's argmax winners onto the aligned triples:
+    * left-join `best(f_kind, f_name, <canon>)` against the STILL-unlinked
+    * rows only, swap obj_canonical for the winner where one exists, update
+    * obj_linked. The `!obj_linked` term lives in the JOIN condition so an
+    * already-linked row can never pick up a tier row, and the
+    * coalesce(when(...)) keeps the original canonical where the tier found
+    * nothing. Used by every tier past tier-1 ([[alignFuzzy]],
+    * [[alignCosine]]) — the linked-flag edge cases live in ONE place. */
+  private def applyTierSwap(aligned: DataFrame, best: DataFrame,
+                            canon: String): DataFrame =
     aligned
       .join(best, col("obj_kind") === best("f_kind") &&
         col("obj_name") === best("f_name") && !col("obj_linked"), "left")
       .withColumn("obj_canonical",
-        coalesce(when(!col("obj_linked"), col("fuzzy_canonical")), col("obj_canonical")))
-      .withColumn("obj_linked", col("obj_linked") || col("fuzzy_canonical").isNotNull)
-      .drop("f_kind", "f_name", "fuzzy_canonical")
-  }
+        coalesce(when(!col("obj_linked"), col(canon)), col("obj_canonical")))
+      .withColumn("obj_linked", col("obj_linked") || col(canon).isNotNull)
+      .drop("f_kind", "f_name", canon)
 
   /** Dimensionality of the hashed char-3-gram embedding used by
     * [[alignCosine]]. 64 buckets separate misspellings (sim 0.82-0.95 on
@@ -278,13 +290,7 @@ object Linker {
         col("a_canonical").as("a_canonical"))).as("m"))
       .select(col("f_kind"), col("f_name"),
         col("m.a_canonical").as("cos_canonical"))
-    aligned
-      .join(best, col("obj_kind") === best("f_kind") &&
-        col("obj_name") === best("f_name") && !col("obj_linked"), "left")
-      .withColumn("obj_canonical",
-        coalesce(when(!col("obj_linked"), col("cos_canonical")), col("obj_canonical")))
-      .withColumn("obj_linked", col("obj_linked") || col("cos_canonical").isNotNull)
-      .drop("f_kind", "f_name", "cos_canonical")
+    applyTierSwap(aligned, best, "cos_canonical")
   }
 
   /** Skew-safe shuffle variant: salt the probe key S ways, replicate the

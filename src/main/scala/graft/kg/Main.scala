@@ -88,9 +88,14 @@ object Main {
       canonLocalProbe = !opts.contains("open-vocabulary"),
       dedupMinJaccard = opts.get("dedup").map(_.toDouble),
       buckets = opts.get("buckets").map { r =>
-        val (lo, hi) = r.split("-") match {
-          case Array(l, h) => (l.trim.toInt, h.trim.toInt)
-          case Array(one) => (one.trim.toInt, one.trim.toInt)
+        // anchored regexes, not split: "5-" / "-5" / "a-b" all fall through
+        // to the usage error instead of silently sharding to one bucket or
+        // throwing a bare NumberFormatException
+        val RangeRe = """(\d+)\s*-\s*(\d+)""".r
+        val OneRe = """(\d+)""".r
+        val (lo, hi) = r.trim match {
+          case RangeRe(l, h) => (l.toInt, h.toInt)
+          case OneRe(one) => (one.toInt, one.toInt)
           case _ => sys.error(s"--buckets expects lo-hi, got: $r")
         }
         require(lo >= 0 && hi < KgPipeline.UrlBuckets && lo <= hi,

@@ -68,6 +68,13 @@ object PostProcess {
   val StatusInferFailed = 1
   val StatusParseFailed = 2
 
+  /** Stage label for a non-OK `parse_status` column — the infer/parse
+    * discriminator, shared by the batch pipeline's failed-url set and the
+    * streaming failure sink so the two can never disagree on labels.
+    * Callers filter to non-OK rows first. */
+  def failedStage(status: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(status === StatusInferFailed, "infer").otherwise("parse")
+
   final case class ParsedPage(parse_status: Int, triplets: Seq[ParsedTriplet])
 
   /** Lenient parse of one raw output, with the failure discriminator.

@@ -122,6 +122,7 @@ object StreamingKg {
     * atomic snapshot (or none, on batch replay). */
   def commitBatchTables(dir: String, tables: Map[String, DataFrame],
                         batchId: Long): Option[Int] = {
+    require(tables.nonEmpty, "commitBatchTables needs at least one table")
     import graft.sources.SnapshotStore
     val spark = tables.head._2.sparkSession
     val cur = SnapshotStore.currentVersion(spark, dir)
@@ -174,8 +175,7 @@ object StreamingKg {
           val failed = b
             .filter(col("parse_status") =!= PostProcess.StatusOk)
             .select(col("url"),
-              when(col("parse_status") === PostProcess.StatusInferFailed, "infer")
-                .otherwise("parse").as("failed_stage"))
+              PostProcess.failedStage(col("parse_status")).as("failed_stage"))
           commitBatchTables(dir, Map("triples" -> triples, "failed" -> failed), batchId)
         } finally b.unpersist()
         ()
