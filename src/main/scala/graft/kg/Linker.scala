@@ -257,9 +257,13 @@ object Linker {
     * anywhere except the distinct() on unlinked names and the per-name
     * argmax aggregate (map-side combined). Per-name cost is O(|dict|·dim),
     * exactly the reference's dense matmul. When the dictionary outgrows a
-    * broadcast, prune candidates first with the hyperplane-LSH sign-bucket
-    * equi-join of ops.Similarity (score only same-bucket entries) — the
-    * same candidate-generation family as [[alignFuzzy]]'s gram join.
+    * broadcast, `lshPrune = Some((planes, bands))` replaces the full scan
+    * with hyperplane-LSH sign-bucket candidate generation (an equi-join on
+    * (kind, band, band-signature) — the same bucketed family as
+    * [[alignFuzzy]]'s gram join and ops.Similarity's near-dup path) before
+    * exact re-scoring; see [[cosineLshCandidates]]. Approximate by nature
+    * (a name whose argmax entity shares no band signature is missed), so
+    * off by default; recall/cost measured in tools/CosinePrune.
     *
     * Determinism: gram counts are small exact ints, so dot/norms are exact
     * in double and sqrt/mult/div are correctly rounded — sims are
@@ -267,7 +271,8 @@ object Linker {
     * arithmetic, which the gate oracle does). Ties break to the
     * lexical-min alias. Output schema equals [[align]]'s. */
   def alignCosine(aligned: DataFrame, alias: DataFrame,
-                  minSim: Double = 0.8, dim: Int = CosineDim): DataFrame = {
+                  minSim: Double = 0.8, dim: Int = CosineDim,
+                  lshPrune: Option[(Int, Int)] = None): DataFrame = {
     val unlinked = aligned.filter(!col("obj_linked"))
       .select(col("obj_kind").as("f_kind"), col("obj_name").as("f_name"))
       .distinct()
@@ -280,7 +285,13 @@ object Linker {
       .withColumn("a_bks", gramBuckets(col("alias_norm"), dim))
       .withColumn("a_vec", bucketVector(col("a_bks"), dim))
       .drop("a_bks")
-    val scored = unlinked.join(broadcast(dict), col("f_kind") === col("a_kind"))
+    val pairs = lshPrune match {
+      case None =>
+        unlinked.join(broadcast(dict), col("f_kind") === col("a_kind"))
+      case Some((planes, bands)) =>
+        cosineLshCandidates(unlinked, dict, planes, bands)
+    }
+    val scored = pairs
       .withColumn("sim",
         graft.plans.Expressions.cosine_sim(col("f_vec"), col("a_vec")))
       .filter(col("sim") >= minSim)
@@ -291,6 +302,66 @@ object Linker {
       .select(col("f_kind"), col("f_name"),
         col("m.a_canonical").as("cos_canonical"))
     applyTierSwap(aligned, best, "cos_canonical")
+  }
+
+  /** Hyperplane-LSH candidate generation for [[alignCosine]] — the
+    * past-broadcast scale path. Gram-count vectors are NONNEGATIVE, so
+    * sign-LSH against raw dictionary vectors would put every vector on the
+    * positive side of every plane (dot of nonneg vectors is always >= 0)
+    * and prune nothing; the planes are therefore DIFFERENCE vectors of
+    * consecutive lexically-ordered dictionary embeddings,
+    * h_i = v(2i) − v(2i+1) — genuine separating planes ("is this name's
+    * histogram closer to entity 2i or 2i+1"), deterministic in any engine.
+    *
+    *   1. signature: bit_i = sign(v · h_i), banded into `bands` groups —
+    *      the banding trick shared with MinHash-LSH and lshNearDup. The
+    *      plane table is BOUNDED (≤ `planes` rows of `dim` doubles — tens
+    *      of KB), so it is collected once on the driver (a guarded bounded
+    *      collect, like the canonicalizer probes) and inlined as literals:
+    *      each side's signature is then a pure projection +
+    *      posexplode(bands) — no extra shuffle, no fan-out join;
+    *   2. candidates: equi-join on (kind, band, band signature) — never
+    *      all-pairs; a name meets only dictionary entries sharing SOME
+    *      band's full bit pattern;
+    *   3. the caller re-scores candidates with the EXACT cosine kernel, so
+    *      pruning affects recall only, never a produced sim value. The
+    *      candidate→vector rehydration joins are plain equi-joins (NO
+    *      broadcast hint — this path exists precisely because the
+    *      dictionary outgrew one; AQE still broadcasts at small scale). */
+  private[graft] def cosineLshCandidates(unlinked: DataFrame, dict: DataFrame,
+                                         planes: Int, bands: Int): DataFrame = {
+    require(planes > 0 && bands > 0 && planes % bands == 0,
+      s"lshPrune needs planes > 0 divisible by bands, got ($planes, $bands)")
+    val rows = planes / bands
+    // Deterministic bounded plane build: the first 2·planes dictionary
+    // vectors in (kind, alias) lexical order, paired consecutively.
+    val seed = dict.orderBy(col("a_kind"), col("alias_norm"))
+      .limit(2 * planes).select("a_vec").collect()
+      .map(_.getSeq[Double](0).toArray)
+    val hyper: Array[Seq[Double]] = seed.grouped(2).collect {
+      case Array(a, b) => a.zip(b).map { case (x, y) => x - y }.toSeq
+    }.toArray
+    if (hyper.isEmpty) // degenerate (<2 entries): nothing to prune with
+      return unlinked.join(dict, col("f_kind") === col("a_kind"))
+    val nBands = (hyper.length + rows - 1) / rows
+    def sig(vec: String, b: Int): Column = concat(
+      (b * rows until math.min((b + 1) * rows, hyper.length)).map { i =>
+        when(graft.ops.Similarity.dot(col(vec), typedLit(hyper(i))) >= 0,
+          lit("1")).otherwise(lit("0"))
+      }: _*)
+    def withSigs(df: DataFrame, vec: String, k1: String, k2: String) =
+      df.select(col(k1), col(k2),
+        posexplode(array((0 until nBands).map(b => sig(vec, b)): _*))
+          .as(Seq("band", "band_sig")))
+    val uSig = withSigs(unlinked, "f_vec", "f_kind", "f_name")
+    val dSig = withSigs(dict, "a_vec", "a_kind", "alias_norm")
+    uSig.join(dSig, col("f_kind") === col("a_kind") &&
+        uSig("band") === dSig("band") && uSig("band_sig") === dSig("band_sig"))
+      .select("f_kind", "f_name", "alias_norm")
+      .distinct()
+      .join(unlinked, Seq("f_kind", "f_name"))
+      .join(dict.withColumnRenamed("a_kind", "f_kind"),
+        Seq("f_kind", "alias_norm"))
   }
 
   /** Skew-safe shuffle variant: salt the probe key S ways, replicate the

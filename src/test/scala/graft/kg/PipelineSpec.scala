@@ -608,6 +608,49 @@ class KgPipelineSpec extends SparkSpec {
     assert(strict.filter(col("obj_linked")).count() === 1)
   }
 
+  test("tier-3 cosine LSH prune: generous banding reproduces the full scan") {
+    val alias = Seq(
+      "Abbey Head Bed", "Everton Formation", "Shakopee Formation",
+      "Oneota Dolomite", "Jordan Sandstone", "St Lawrence Formation",
+      "Franconia Formation", "Galesville Sandstone", "Eau Claire Formation",
+      "Mt Simon Sandstone", "Prairie Du Chien Group", "Decorah Shale")
+      .toDF("canonical")
+      .select(lower(col("canonical")).as("alias_norm"), col("canonical"),
+        lit(Model.ObjKind.Strat).as("kind"))
+    val names = Seq("Abbey Haed Bed.", "Evertn Formation", "Jordann Sandstone",
+        "totally unrelated zq", "Shakopee Formation")
+      .toDF("n")
+      .select(lit("https://t/coslsh").as("url"), lit("h").as("hashed_text"),
+        lit("m").as("model_id"), lit("Minnesota").as("subj_name"),
+        lit("is in").as("predicate"),
+        col("n").as("obj_name"), lit(Model.ObjKind.Strat).as("obj_kind"))
+    def run(prune: Option[(Int, Int)]) =
+      Linker.alignCosine(Linker.align(names, alias), alias, lshPrune = prune)
+        .select("obj_name", "obj_canonical", "obj_linked")
+    val full = out_rows(run(None))
+    assert(full === Set(
+      ("Abbey Haed Bed.", "Abbey Head Bed", true),
+      ("Evertn Formation", "Everton Formation", true),
+      ("Jordann Sandstone", "Jordan Sandstone", true),
+      ("totally unrelated zq", "totally unrelated zq", false),
+      ("Shakopee Formation", "Shakopee Formation", true)))
+    // single-bit bands (rows=1): a 0.8+ pair is pruned only if it disagrees
+    // on ALL planes — generous recall; output must equal the full scan
+    val generousDf = run(Some((6, 6)))
+    val plan = generousDf.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"))
+    assert(out_rows(generousDf) === full)
+    // one 6-bit band: aggressive — may MISS links (stay unlinked, keeping
+    // the raw name) but can never invent a canonical the full scan lacks
+    val tight = out_rows(run(Some((6, 1))))
+    assert(tight.size === full.size)
+    tight.foreach { case (n, c, linked) =>
+      if (linked) assert(full.contains((n, c, true)))
+      else assert(c === n)
+    }
+  }
+
   test("tier-3 cosine alignment wired through the pipeline config") {
     val text = "The Waldron Shael is exposed near Minnesota."
     val page = Seq(("https://t/cos-pipe",
