@@ -238,6 +238,28 @@ object KgQueries {
         .select(col("obj_name").as("name"), col("obj_canonical"), col("obj_linked"))
     },
 
+    // J2 tier-3, past-broadcast variant: the SAME alignment through the
+    // hyperplane-LSH candidate prune (Linker.cosineLshCandidates) at
+    // generous single-bit banding — a >=0.8 pair is pruned only if it
+    // disagrees with its argmax entity on EVERY plane, which no gate
+    // fixture does, and survivors re-score with the exact kernel. Recall
+    // is therefore total here and the query shares kg_align_cosine's
+    // oracle SQL verbatim (the kg_align_salted twin pattern: one more
+    // gate-proven physical strategy, zero new oracle SQL).
+    "kg_align_cosine_lsh" -> { (s, dir) =>
+      import s.implicits._
+      val alias = CosineAliasDict.toDF("alias_norm", "canonical")
+        .withColumn("kind", lit(Model.ObjKind.Strat))
+      val names = CosineTestNames.toDF("n")
+        .select(lit("https://q/cosine").as("url"), lit("h").as("hashed_text"),
+          lit("m").as("model_id"), lit("Minnesota").as("subj_name"),
+          lit("is in").as("predicate"),
+          col("n").as("obj_name"), lit(Model.ObjKind.Strat).as("obj_kind"))
+      Linker.alignCosine(Linker.align(names, alias), alias, minSim = 0.8,
+        lshPrune = Some((3, 3)))
+        .select(col("obj_name").as("name"), col("obj_canonical"), col("obj_linked"))
+    },
+
     // The COMPOSED corpus-dedup pipeline gate (Config.dedupMinJaccard):
     // a 60-doc corpus slice plus exact copies of the first 20 docs runs the
     // full extract → dedup gate (MinHash-LSH → candidate Jaccard → CC) →
@@ -1194,9 +1216,12 @@ object KgQueries {
     }
   )
 
-  /** kg_align_salted shares kg_align's oracle SQL verbatim: the salted
+  /** kg_align_salted shares kg_align's oracle SQL verbatim (the salted
     * shuffle-hash plan must produce hash-identical rows to the broadcast
-    * plan — one more gate-proven physical strategy, zero new oracle SQL. */
+    * plan), and kg_align_cosine_lsh shares kg_align_cosine's (the pruned
+    * path must reproduce the full scan at generous banding) — two more
+    * gate-proven physical strategies, zero new oracle SQL. */
   val oracles: Map[String, String] =
-    oraclesBase + ("kg_align_salted" -> oraclesBase("kg_align"))
+    oraclesBase + ("kg_align_salted" -> oraclesBase("kg_align")) +
+      ("kg_align_cosine_lsh" -> oraclesBase("kg_align_cosine"))
 }
