@@ -58,6 +58,13 @@ object KgPipeline {
       // under the deterministic hashed-gram embedding). Off by default for
       // the same reason as the fuzzy tier.
       cosineAlignMinSim: Option[Double] = None,
+      // Some((planes, bands)) => tier-3 scores only hyperplane-LSH
+      // candidates instead of the full dictionary matrix (Linker
+      // .cosineLshCandidates) — the lever for a dictionary past broadcast
+      // size. Approximate (recall-only; emitted sims stay exact), so off
+      // by default; trade measured in tools/CosinePrune. Only read when
+      // cosineAlignMinSim is set.
+      cosineAlignLshPrune: Option[(Int, Int)] = None,
       canonicalize: Boolean = true,
       // false => entity space is known-unbounded (open-vocabulary web
       // extraction): go straight to distributed CC, skip the driver probe.
@@ -241,7 +248,8 @@ object KgPipeline {
       .map(t => Linker.alignFuzzy(aligned0, alias, t, cfg.fuzzyStopGramMaxDf))
       .getOrElse(aligned0)
     val aligned = cfg.cosineAlignMinSim
-      .map(t => Linker.alignCosine(aligned1, alias, t))
+      .map(t => Linker.alignCosine(aligned1, alias, t,
+        lshPrune = cfg.cosineAlignLshPrune))
       .getOrElse(aligned1)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 

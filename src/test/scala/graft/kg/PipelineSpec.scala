@@ -670,6 +670,15 @@ class KgPipelineSpec extends SparkSpec {
     assert(on.getAs[Boolean]("obj_linked"))
     assert(on.getAs[String]("obj_final") === "Waldron Shale")
     assert(on.getAs[Long]("strat_name_id") === 4260L)
+    // the LSH-prune lever wires through Config too: generous banding keeps
+    // the same link end-to-end (hydration included)
+    val pruned = KgPipeline.run(spark, page, dims, cosClient,
+      KgPipeline.Config(numPartitions = 2,
+        cosineAlignMinSim = Some(0.8),
+        cosineAlignLshPrune = Some((4, 4)))).triples
+      .filter(col("obj_name") === "Waldron Shael").collect().head
+    assert(pruned.getAs[Boolean]("obj_linked"))
+    assert(pruned.getAs[String]("obj_final") === "Waldron Shale")
   }
 
   test("AQE-managed resume anti-join equals the broadcast-hinted path") {
