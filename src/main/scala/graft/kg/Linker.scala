@@ -273,18 +273,8 @@ object Linker {
   def alignCosine(aligned: DataFrame, alias: DataFrame,
                   minSim: Double = 0.8, dim: Int = CosineDim,
                   lshPrune: Option[(Int, Int)] = None): DataFrame = {
-    val unlinked = aligned.filter(!col("obj_linked"))
-      .select(col("obj_kind").as("f_kind"), col("obj_name").as("f_name"))
-      .distinct()
-      .withColumn("f_bks", gramBuckets(normName(col("f_name")), dim))
-      .withColumn("f_vec", bucketVector(col("f_bks"), dim))
-      .drop("f_bks")
-    val dict = alias
-      .select(col("kind").as("a_kind"), col("alias_norm"),
-        col("canonical").as("a_canonical"))
-      .withColumn("a_bks", gramBuckets(col("alias_norm"), dim))
-      .withColumn("a_vec", bucketVector(col("a_bks"), dim))
-      .drop("a_bks")
+    val unlinked = cosineUnlinked(aligned, dim)
+    val dict = cosineDict(alias, dim)
     val pairs = lshPrune match {
       case None =>
         unlinked.join(broadcast(dict), col("f_kind") === col("a_kind"))
@@ -303,6 +293,28 @@ object Linker {
         col("m.a_canonical").as("cos_canonical"))
     applyTierSwap(aligned, best, "cos_canonical")
   }
+
+  /** The still-unlinked surface forms with their [[bucketVector]] gram
+    * embeddings — [[alignCosine]]'s probe side, shared with
+    * tools/CosinePrune so the tool measures the engine's actual vector
+    * space. */
+  private[graft] def cosineUnlinked(aligned: DataFrame, dim: Int = CosineDim): DataFrame =
+    aligned.filter(!col("obj_linked"))
+      .select(col("obj_kind").as("f_kind"), col("obj_name").as("f_name"))
+      .distinct()
+      .withColumn("f_bks", gramBuckets(normName(col("f_name")), dim))
+      .withColumn("f_vec", bucketVector(col("f_bks"), dim))
+      .drop("f_bks")
+
+  /** The alias dictionary with its gram embeddings — [[alignCosine]]'s
+    * build side, shared with tools/CosinePrune. */
+  private[graft] def cosineDict(alias: DataFrame, dim: Int = CosineDim): DataFrame =
+    alias
+      .select(col("kind").as("a_kind"), col("alias_norm"),
+        col("canonical").as("a_canonical"))
+      .withColumn("a_bks", gramBuckets(col("alias_norm"), dim))
+      .withColumn("a_vec", bucketVector(col("a_bks"), dim))
+      .drop("a_bks")
 
   /** Hyperplane-LSH candidate generation for [[alignCosine]] — the
     * past-broadcast scale path. Gram-count vectors are NONNEGATIVE, so
@@ -333,16 +345,29 @@ object Linker {
     require(planes > 0 && bands > 0 && planes % bands == 0,
       s"lshPrune needs planes > 0 divisible by bands, got ($planes, $bands)")
     val rows = planes / bands
+    // Both sides feed two subtrees each (signature + candidate
+    // rehydration) whose exchanges differ, so ReuseExchange cannot
+    // deduplicate them — persist so the gram featurization (the heaviest
+    // projection in the path's operating regime) runs once per side. The
+    // seed collect below materializes the dict cache as a side effect.
+    import org.apache.spark.storage.StorageLevel
+    val u = unlinked.persist(StorageLevel.MEMORY_AND_DISK)
+    val d = dict.persist(StorageLevel.MEMORY_AND_DISK)
     // Deterministic bounded plane build: the first 2·planes dictionary
-    // vectors in (kind, alias) lexical order, paired consecutively.
-    val seed = dict.orderBy(col("a_kind"), col("alias_norm"))
+    // vectors in (kind, alias) lexical order, paired consecutively. A
+    // dictionary smaller than 2·planes yields fewer planes — the LAST
+    // band(s) then carry fewer (or zero) bits than requested, i.e. the
+    // effective (planes, bands) clamps to the dictionary size; callers
+    // configuring a measured operating point (PLANS.md round-5) should
+    // size planes ≤ |dict|/2.
+    val seed = d.orderBy(col("a_kind"), col("alias_norm"))
       .limit(2 * planes).select("a_vec").collect()
       .map(_.getSeq[Double](0).toArray)
     val hyper: Array[Seq[Double]] = seed.grouped(2).collect {
       case Array(a, b) => a.zip(b).map { case (x, y) => x - y }.toSeq
     }.toArray
-    if (hyper.isEmpty) // degenerate (<2 entries): nothing to prune with
-      return unlinked.join(dict, col("f_kind") === col("a_kind"))
+    if (hyper.isEmpty) // degenerate (<2 entries): nothing to prune with —
+      return u.join(broadcast(d), col("f_kind") === col("a_kind"))
     val nBands = (hyper.length + rows - 1) / rows
     def sig(vec: String, b: Int): Column = concat(
       (b * rows until math.min((b + 1) * rows, hyper.length)).map { i =>
@@ -353,14 +378,14 @@ object Linker {
       df.select(col(k1), col(k2),
         posexplode(array((0 until nBands).map(b => sig(vec, b)): _*))
           .as(Seq("band", "band_sig")))
-    val uSig = withSigs(unlinked, "f_vec", "f_kind", "f_name")
-    val dSig = withSigs(dict, "a_vec", "a_kind", "alias_norm")
+    val uSig = withSigs(u, "f_vec", "f_kind", "f_name")
+    val dSig = withSigs(d, "a_vec", "a_kind", "alias_norm")
     uSig.join(dSig, col("f_kind") === col("a_kind") &&
         uSig("band") === dSig("band") && uSig("band_sig") === dSig("band_sig"))
       .select("f_kind", "f_name", "alias_norm")
       .distinct()
-      .join(unlinked, Seq("f_kind", "f_name"))
-      .join(dict.withColumnRenamed("a_kind", "f_kind"),
+      .join(u, Seq("f_kind", "f_name"))
+      .join(d.withColumnRenamed("a_kind", "f_kind"),
         Seq("f_kind", "alias_norm"))
   }
 

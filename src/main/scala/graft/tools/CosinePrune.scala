@@ -16,12 +16,13 @@ import org.apache.spark.sql.functions._
   * many of the full scan's linked names the pruned mode links to the SAME
   * canonical (a differing winner is still a ≥ minSim match, but counts
   * against agreement). args: [nUnlinked] [nDict] [planes] [bands]
-  * (defaults 2000, 2000, 16, 8). */
+  * (defaults 2000, 2000, 64, 8 — the PLANS.md recommended operating
+  * point; 2-bit bands like (16,8) measure as worthless). */
 object CosinePrune {
   def main(args: Array[String]): Unit = {
     val nUnlinked = args.headOption.map(_.toInt).getOrElse(2000)
     val nDict = args.drop(1).headOption.map(_.toInt).getOrElse(2000)
-    val planes = args.drop(2).headOption.map(_.toInt).getOrElse(16)
+    val planes = args.drop(2).headOption.map(_.toInt).getOrElse(64)
     val bands = args.drop(3).headOption.map(_.toInt).getOrElse(8)
     val spark = SparkSession.builder()
       .master("local[8]")
@@ -49,16 +50,10 @@ object CosinePrune {
       .cache()
     aligned.count()
 
-    // candidate volume the prune achieves, measured directly
-    val unlinked = aligned
-      .select(col("obj_kind").as("f_kind"), col("obj_name").as("f_name"))
-      .distinct()
-      .withColumn("f_vec", Linker.bucketVector(
-        Linker.gramBuckets(Linker.normName(col("f_name")))))
-    val dict = alias
-      .select(col("kind").as("a_kind"), col("alias_norm"),
-        col("canonical").as("a_canonical"))
-      .withColumn("a_vec", Linker.bucketVector(Linker.gramBuckets(col("alias_norm"))))
+    // candidate volume the prune achieves, measured directly over the
+    // engine's OWN featurization (shared helpers — no drift possible)
+    val unlinked = Linker.cosineUnlinked(aligned)
+    val dict = Linker.cosineDict(alias)
     val fullPairs = (nUnlinked + 1).toLong * (nDict + 1)
     val prunedPairs = Linker.cosineLshCandidates(unlinked, dict, planes, bands).count()
     println(f"dict=$nDict unlinked=$nUnlinked planes=$planes bands=$bands | " +
