@@ -111,6 +111,22 @@ object KgQueries {
   }
   private def fixtureRdf(s: SparkSession) = fixtureResult(s).rdf.get
 
+  /** Deterministic retrieval scorer shared by the two search_to_graph
+    * entry points (§3.2): whole-word case-insensitive mention counts of
+    * the question terms over the fixture corpus, bounded top-SearchK. */
+  private def searchScored(s: SparkSession): DataFrame = {
+    import s.implicits._
+    val terms = SearchQuestionTerms.toArray
+    Pages.fixtures(s)
+      .select(col("url"), col("text")).as[(String, String)]
+      .mapPartitions { it =>
+        val scanner = MentionScanner(terms, ignoreCase = true)
+        it.map { case (url, text) => (url, scanner.findAll(text).size.toLong) }
+      }.toDF("url", "score")
+      .filter(col("score") > 0)
+      .orderBy(desc("score"), col("url")).limit(SearchK)
+  }
+
   /** Per-(session, sf-dir, query) cache for the composed-pipeline gate
     * queries (kg_pipeline_dedup, kg_pipeline_failures). Each builds a FULL
     * fresh pipeline — LSH/CC rounds, inference, hydration, commit barriers —
@@ -605,19 +621,38 @@ object KgQueries {
     // retrieval scores hand-counted from the fixture texts, TTL hashes from
     // the pinned golden set — a two-sided check on the retrieval half.
     "kg_search_to_graph" -> { (s, dir) =>
-      import s.implicits._
-      val terms = SearchQuestionTerms.toArray
-      val scored = Pages.fixtures(s)
-        .select(col("url"), col("text")).as[(String, String)]
-        .mapPartitions { it =>
-          val scanner = MentionScanner(terms, ignoreCase = true)
-          it.map { case (url, text) => (url, scanner.findAll(text).size.toLong) }
-        }.toDF("url", "score")
-        .filter(col("score") > 0)
-        .orderBy(desc("score"), col("url")).limit(SearchK)
-      scored.join(Rdf.toTtl(fixtureRdf(s)), Seq("url"))
+      searchScored(s).join(Rdf.toTtl(fixtureRdf(s)), Seq("url"))
         .select(col("url"), col("score"), md5(col("ttl")).as("ttl_md5"))
     },
+
+    // §3.1 SLOW entry point: POST /search_to_graph_slow (api/engine.py:
+    // 38-48 → llm.py llm_graph_from_search) — the same retrieval ranks the
+    // corpus, but instead of probing the triplet cache the bounded top-k
+    // pages run LIVE extraction: the full prompt → inference → parse →
+    // align → hydrate → RDF pipeline over just the retrieved pages, then
+    // per-paragraph TTL. On the same corpus slow and fast MUST agree — the
+    // cache stores exactly what live extraction produces (the reference's
+    // own consistency invariant) — so this shares kg_search_to_graph's
+    // oracle verbatim: a gate-proven twin across ENTRY POINTS rather than
+    // physical plans, and a live check that per-page pipeline output is
+    // independent of which corpus slice rides along.
+    "kg_search_to_graph_slow" -> { (s, dir) => cachedPipelineQuery(s, dir, "search_slow") {
+      val scored = searchScored(s).localCheckpoint(true) // bounded: ≤ SearchK rows
+      val (dims, prepared, alias) = cachedDims(s)
+      val client = Inference.defaultClient(
+        Dims.pinnedStrat.map(_.strat_name).toArray,
+        Dims.gazetteer.map(_.name).toArray,
+        Dims.pinnedMinerals.map(_.mineral).toArray)
+      val top = Pages.fixtures(s).join(broadcast(scored.select("url")), Seq("url"))
+      val res = KgPipeline.run(s, top, dims, client,
+        KgPipeline.Config(numPartitions = 4, emitRdf = true,
+          prebuiltAlias = Some(alias), preparedDims = Some(prepared)))
+      val out = scored.join(Rdf.toTtl(res.rdf.get), Seq("url"))
+        .select(col("url"), col("score"), md5(col("ttl")).as("ttl_md5"))
+        .localCheckpoint(true)
+      res.cleanup()
+      out
+    }},
 
     // GraphOutput regrouping: the reference's output unit is a per-paragraph
     // graph (schema.py:432-447 GraphOutput = text hash + triplet list); this
@@ -1223,5 +1258,6 @@ object KgQueries {
     * gate-proven physical strategies, zero new oracle SQL. */
   val oracles: Map[String, String] =
     oraclesBase + ("kg_align_salted" -> oraclesBase("kg_align")) +
-      ("kg_align_cosine_lsh" -> oraclesBase("kg_align_cosine"))
+      ("kg_align_cosine_lsh" -> oraclesBase("kg_align_cosine")) +
+      ("kg_search_to_graph_slow" -> oraclesBase("kg_search_to_graph"))
 }
