@@ -236,8 +236,20 @@ object Linker {
 
   /** Dense `dim`-vector from a bucket-id array: component d counts the
     * grams in bucket d. A per-name histogram, not an aggregation — stays
-    * inside the projection. */
+    * inside the projection. The native codegen'd kernel
+    * (graft.plans.Expressions.BucketHistogramExpr) walks the bucket array
+    * once; the composed form [[bucketVectorHof]] it replaced walks it
+    * `dim` times (parity-tested bit-for-bit in ExpressionsSpec). */
   def bucketVector(bucketsCol: Column, dim: Int = CosineDim): Column =
+    graft.plans.Expressions.bucket_histogram(bucketsCol, dim)
+
+  /** Composed higher-order-function form of [[bucketVector]] — the
+    * engine-portable fallback, and the parity oracle for the native
+    * kernel. Identical on every non-null input; on a NULL bucket array
+    * (which no featurization path produces) the native form is null while
+    * this form yields an array of null counts (size(null) = null per
+    * bucket) — pinned in ExpressionsSpec. */
+  def bucketVectorHof(bucketsCol: Column, dim: Int = CosineDim): Column =
     array((0 until dim).map(d =>
       size(filter(bucketsCol, b => b === lit(d))).cast("double")): _*)
 

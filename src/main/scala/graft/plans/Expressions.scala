@@ -171,6 +171,61 @@ object Expressions {
       CosineSimExpr(org.apache.spark.sql.GraftColumnBridge.expression(a),
         org.apache.spark.sql.GraftColumnBridge.expression(b)))
 
+  /** Static fixed-width histogram kernel: one pass over the bucket-id
+    * array, counting ids into a dim-wide double vector. Mirrors the
+    * composed form `array((0 until dim).map(d => size(filter(a, _ === d))))`
+    * exactly — null ids match no bucket (a null equality is never true in
+    * the filter predicate) and out-of-range ids match no bucket — but
+    * walks the array ONCE instead of `dim` times. */
+  def bucketHistogramKernel(a: ArrayData, dim: Int): ArrayData = {
+    val out = new Array[Double](dim)
+    val n = a.numElements()
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i)) {
+        val b = a.getInt(i)
+        if (b >= 0 && b < dim) out(b) += 1.0
+      }
+      i += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
+  /** Native codegen'd bucket histogram over an array<int> column — the
+    * featurization kernel of the tier-3 cosine alignment (64-dim hashed
+    * char-3-gram embeddings, graft.kg.Linker.bucketVector): the composed
+    * expression form traverses the bucket array `dim` (=64) times per
+    * name; this is O(grams) per name instead of O(dim·grams). */
+  case class BucketHistogramExpr(child: Expression, dim: Int) extends UnaryExpression {
+    require(dim > 0, s"bucket_histogram needs dim > 0, got $dim")
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "bucket_histogram"
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(org.apache.spark.sql.types.IntegerType, _) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"bucket_histogram expects array<int>, got $t")
+      }
+
+    override protected def nullSafeEval(input: Any): Any =
+      bucketHistogramKernel(input.asInstanceOf[ArrayData], dim)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.plans.Expressions.bucketHistogramKernel($c, $dim)")
+
+    override protected def withNewChildInternal(newChild: Expression): BucketHistogramExpr =
+      copy(child = newChild)
+  }
+
+  /** Column-API form of the native bucket histogram. */
+  def bucket_histogram(buckets: Column, dim: Int): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      BucketHistogramExpr(
+        org.apache.spark.sql.GraftColumnBridge.expression(buckets), dim))
+
   /** Register the custom functions for SQL use on an existing session. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -179,6 +234,17 @@ object Expressions {
       "dot_product", exprs => DotProductExpr(exprs.head, exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim", exprs => CosineSimExpr(exprs.head, exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bucket_histogram", exprs => BucketHistogramExpr(exprs.head,
+        foldableInt(exprs(1), "bucket_histogram dim")), "scala_udf")
+  }
+
+  /** SQL-registration helper: the dim argument must be a foldable int
+    * literal (the expression is shaped at plan time, like array_repeat's
+    * count in practice). */
+  private def foldableInt(e: Expression, what: String): Int = {
+    require(e.foldable, s"$what must be a literal")
+    e.eval().asInstanceOf[Number].intValue()
   }
 }
 
@@ -199,5 +265,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[Expressions.CosineSimExpr].getName, "cosine_sim"),
       (exprs: Seq[Expression]) => Expressions.CosineSimExpr(exprs.head, exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("bucket_histogram"),
+      new ExpressionInfo(classOf[Expressions.BucketHistogramExpr].getName, "bucket_histogram"),
+      (exprs: Seq[Expression]) => Expressions.BucketHistogramExpr(exprs.head,
+        { require(exprs(1).foldable, "bucket_histogram dim must be a literal")
+          exprs(1).eval().asInstanceOf[Number].intValue() })))
   }
 }

@@ -36,6 +36,24 @@ object DotBench {
     time("cos3  ")(dp(col("ea"), col("eb")) /
       (sqrt(dp(col("ea"), col("ea"))) * sqrt(dp(col("eb"), col("eb")))))
     time("cos1  ")(graft.plans.Expressions.cosine_sim(col("ea"), col("eb")))
+
+    // tier-3 featurization kernel: composed dim×filter/size histogram vs
+    // the one-pass native BucketHistogramExpr, over synthetic names
+    import graft.kg.Linker
+    val names = spark.range(200000)
+      .select(concat(lit("unit"), col("id"), lit(" formation")).as("n"))
+      .withColumn("bks", Linker.gramBuckets(Linker.normName(col("n"))))
+      .cache()
+    println(s"[hist] names=${names.count()}")
+    def timeH(name: String)(c: org.apache.spark.sql.Column): Unit = {
+      (0 until 3).foreach { i =>
+        val t0 = System.nanoTime()
+        names.select(sum(element_at(c, 1))).collect()
+        if (i > 0) println(f"[hist] $name run$i ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+    }
+    timeH("hof   ")(Linker.bucketVectorHof(col("bks")))
+    timeH("native")(Linker.bucketVector(col("bks")))
     spark.stop()
   }
 }

@@ -113,4 +113,50 @@ class ExpressionsSpec extends SparkSpec {
     assert(plan.contains("dot_product("), plan)
     assert(!plan.toLowerCase.contains("udf"), plan)
   }
+
+  test("BucketHistogramExpr equals the composed filter/size form") {
+    import graft.kg.Linker
+    val rnd = new scala.util.Random(11)
+    // random bucket ids incl. out-of-range and negative (match no bucket),
+    // empty arrays, and a null row
+    val rows = (0 until 40).map { i =>
+      (i.toLong, Some(Seq.fill(rnd.nextInt(20))(rnd.nextInt(20) - 2)))
+    } :+ (40L, None) :+ (41L, Some(Seq.empty[Int]))
+    val df = rows.toDF("id", "bks")
+    val got = df.select(col("id"),
+        Linker.bucketVector(col("bks"), 16).as("native"),
+        Linker.bucketVectorHof(col("bks"), 16).as("hof"))
+      .collect()
+    got.foreach { r =>
+      if (r.isNullAt(1)) {
+        // documented divergence on a NULL input array (no engine path
+        // produces one): native is null-intolerant -> null; the composed
+        // form maps size(filter(null)) per bucket -> an array of nulls
+        assert(r.getSeq[java.lang.Double](2).forall(_ == null))
+      } else assert(r.getSeq[Double](1) === r.getSeq[Double](2))
+    }
+    // real featurization path: gramBuckets of a name, both forms
+    val name = Seq("Waldron Shale").toDF("n")
+      .select(Linker.gramBuckets(Linker.normName(col("n"))).as("bks"))
+      .select(Linker.bucketVector(col("bks")).as("native"),
+        Linker.bucketVectorHof(col("bks")).as("hof"))
+      .collect().head
+    assert(name.getSeq[Double](0) === name.getSeq[Double](1))
+    assert(name.getSeq[Double](0).sum === 11.0) // 11 distinct 3-grams
+  }
+
+  test("bucket_histogram stays inside whole-stage codegen and SQL-registers") {
+    val plan = spark.range(10)
+      .select(array(col("id").cast("int"), lit(1)).as("bks"))
+      .select(Expressions.bucket_histogram(col("bks"), 8))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), plan)
+    assert(plan.contains("bucket_histogram("), plan)
+    assert(!plan.toLowerCase.contains("udf"), plan)
+    Expressions.register(spark)
+    val viaSql = Seq(Seq(0, 1, 1, 3)).toDF("bks")
+      .selectExpr("bucket_histogram(bks, 4) AS h")
+      .collect().head.getSeq[Double](0)
+    assert(viaSql === Seq(1.0, 2.0, 0.0, 1.0))
+  }
 }
