@@ -630,12 +630,16 @@ object KgQueries {
     // corpus, but instead of probing the triplet cache the bounded top-k
     // pages run LIVE extraction: the full prompt → inference → parse →
     // align → hydrate → RDF pipeline over just the retrieved pages, then
-    // per-paragraph TTL. On the same corpus slow and fast MUST agree — the
-    // cache stores exactly what live extraction produces (the reference's
-    // own consistency invariant) — so this shares kg_search_to_graph's
-    // oracle verbatim: a gate-proven twin across ENTRY POINTS rather than
-    // physical plans, and a live check that per-page pipeline output is
-    // independent of which corpus slice rides along.
+    // per-paragraph TTL. Like the reference's slow path, this run has NO
+    // corpus-global stage (llm_graph_from_search extracts each paragraph
+    // in isolation — canonicalization is this engine's compaction-level
+    // addition, so canonicalize=false here), which makes the output
+    // slice-independent BY CONSTRUCTION. It can therefore share
+    // kg_search_to_graph's oracle verbatim given one premise — corpus
+    // canonicalization is identity on the fixture TTLs — pinned by its own
+    // spec test, so a fixture edit that breaks it fails with a clear
+    // message, not a confusing oracle mismatch. A gate-proven twin across
+    // ENTRY POINTS rather than physical plans.
     "kg_search_to_graph_slow" -> { (s, dir) => cachedPipelineQuery(s, dir, "search_slow") {
       val scored = searchScored(s).localCheckpoint(true) // bounded: ≤ SearchK rows
       val (dims, prepared, alias) = cachedDims(s)
@@ -646,6 +650,7 @@ object KgQueries {
       val top = Pages.fixtures(s).join(broadcast(scored.select("url")), Seq("url"))
       val res = KgPipeline.run(s, top, dims, client,
         KgPipeline.Config(numPartitions = 4, emitRdf = true,
+          canonicalize = false,
           prebuiltAlias = Some(alias), preparedDims = Some(prepared)))
       val out = scored.join(Rdf.toTtl(res.rdf.get), Seq("url"))
         .select(col("url"), col("score"), md5(col("ttl")).as("ttl_md5"))

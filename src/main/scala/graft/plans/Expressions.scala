@@ -239,12 +239,18 @@ object Expressions {
         foldableInt(exprs(1), "bucket_histogram dim")), "scala_udf")
   }
 
-  /** SQL-registration helper: the dim argument must be a foldable int
-    * literal (the expression is shaped at plan time, like array_repeat's
-    * count in practice). */
-  private def foldableInt(e: Expression, what: String): Int = {
-    require(e.foldable, s"$what must be a literal")
-    e.eval().asInstanceOf[Number].intValue()
+  /** SQL-registration helper: the dim argument must be a foldable,
+    * non-null integer literal (the expression is shaped at plan time,
+    * like array_repeat's count in practice). Shared by both registration
+    * paths; rejects null and non-numeric literals with the same message
+    * instead of surfacing a planner NPE/ClassCastException. */
+  private[plans] def foldableInt(e: Expression, what: String): Int = {
+    require(e.foldable, s"$what must be a literal int")
+    e.eval() match {
+      case n: Number => n.intValue()
+      case other => throw new IllegalArgumentException(
+        s"$what must be a literal int, got $other")
+    }
   }
 }
 
@@ -269,7 +275,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("bucket_histogram"),
       new ExpressionInfo(classOf[Expressions.BucketHistogramExpr].getName, "bucket_histogram"),
       (exprs: Seq[Expression]) => Expressions.BucketHistogramExpr(exprs.head,
-        { require(exprs(1).foldable, "bucket_histogram dim must be a literal")
-          exprs(1).eval().asInstanceOf[Number].intValue() })))
+        Expressions.foldableInt(exprs(1), "bucket_histogram dim"))))
   }
 }

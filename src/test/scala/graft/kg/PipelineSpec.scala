@@ -681,6 +681,21 @@ class KgPipelineSpec extends SparkSpec {
     assert(pruned.getAs[String]("obj_final") === "Waldron Shale")
   }
 
+  test("fixture corpus: canonicalization is identity on per-page TTLs " +
+      "(kg_search_to_graph_slow's shared-oracle premise)") {
+    def ttl(canon: Boolean) = {
+      val res = KgPipeline.run(spark, Pages.fixtures(spark), dims, client,
+        KgPipeline.Config(numPartitions = 2, emitRdf = true, canonicalize = canon))
+      Rdf.toTtl(res.rdf.get).select("url", "ttl")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    }
+    assert(ttl(true) === ttl(false),
+      "kg_search_to_graph_slow (canonicalize=false, like the reference's " +
+        "per-paragraph slow path) shares kg_search_to_graph's oracle on the " +
+        "premise that corpus canonicalization is identity over the fixture " +
+        "TTLs — a fixture edit broke that premise")
+  }
+
   test("AQE-managed resume anti-join equals the broadcast-hinted path") {
     val outDir = java.nio.file.Files.createTempDirectory("kgdonedual").toString
     val pages = Pages.fixtures(spark)
