@@ -154,11 +154,24 @@ object StreamingKg {
     *    failed this batch — an append-only failure log a re-drive job
     *    anti-joins against the accumulated triples table,
     * committed together in ONE atomic snapshot (exactly-once via the
-    * batch_id watermark: a replayed micro-batch re-commits neither). */
+    * batch_id watermark: a replayed micro-batch re-commits neither).
+    *
+    * The optional alignment tiers mirror the batch `KgPipeline.Config`
+    * (fuzzyAlignMinJaccard / fuzzyStopGramMaxDf / cosineAlignMinSim /
+    * cosineAlignLshPrune) and run INSIDE each micro-batch: every tier is a
+    * per-name argmax against the STATIC dictionary — independent of which
+    * other names share the batch — so micro-batch scoping changes nothing
+    * vs the batch pipeline on the same pages (parity-tested in
+    * StreamingSpec). Unlike canonicalization (corpus-global, deferred to
+    * [[compactCanonicalize]]), the tiers need no cross-batch state. */
   def snapshotSinkWithFailures(rawParsed: DataFrame, dir: String,
                                dims: Dims.Snapshot,
                                jobStart: java.sql.Timestamp =
-                                 java.sql.Timestamp.valueOf("2024-06-01 00:00:00")): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+                                 java.sql.Timestamp.valueOf("2024-06-01 00:00:00"),
+                               fuzzyMinJaccard: Option[Double] = None,
+                               fuzzyStopGramMaxDf: Option[Int] = None,
+                               cosineMinSim: Option[Double] = None,
+                               cosineLshPrune: Option[(Int, Int)] = None): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     // bootstrap once per query, reused by every micro-batch closure
     val prepared = Hydrator.prepare(dims).cached()
     val alias = Linker.aliasDim(dims).cache()
@@ -166,7 +179,14 @@ object StreamingKg {
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val b = batch.toDF().persist()
         try {
-          val aligned = Linker.align(PostProcess.explodeParsed(b), alias)
+          val tier1 = Linker.align(PostProcess.explodeParsed(b), alias)
+          val tier2 = fuzzyMinJaccard
+            .map(Linker.alignFuzzy(tier1, alias, _, fuzzyStopGramMaxDf))
+            .getOrElse(tier1)
+          val tier3 = cosineMinSim
+            .map(t => Linker.alignCosine(tier2, alias, t, lshPrune = cosineLshPrune))
+            .getOrElse(tier2)
+          val aligned = tier3
             .withColumn("obj_final", col("obj_canonical"))
             .withColumn("entity_cluster_id",
               xxhash64(col("obj_kind"), col("obj_canonical")))

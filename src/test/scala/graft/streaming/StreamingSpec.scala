@@ -133,6 +133,46 @@ class StreamingSpec extends SparkSpec {
     assert(SnapshotStore.currentVersion(spark, storeDir) === v)
   }
 
+  test("streaming alignment tiers: micro-batch fuzzy+cosine equal the batch pipeline") {
+    import graft.sources.SnapshotStore
+    val pagesDir = java.nio.file.Files.createTempDirectory("tiersrc").toString
+    val storeDir = java.nio.file.Files.createTempDirectory("tiersink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("tierckpt").toString
+    // dim knows only "Waldron Shale"; tier-1 misses the misspelling, the
+    // cosine tier links it (sim 0.859 >= 0.8) — inside a micro-batch
+    val text = "The Waldron Shael is exposed near Minnesota."
+    Seq(("https://t/tier-stream",
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+        HtmlText.render(text, "en"), text, "en"))
+      .toDF("url", "warc_ts", "html", "text", "lang")
+      .write.mode("overwrite").parquet(pagesDir)
+    def tierClient = Inference.defaultClient(
+      Dims.pinnedStrat.map(_.strat_name).toArray :+ "Waldron Shael",
+      Dims.gazetteer.map(_.name).toArray, Array())
+    val raw = StreamingKg.rawParsedStream(
+      StreamingKg.pagesStream(spark, pagesDir), dims, tierClient)
+    val q = StreamingKg.snapshotSinkWithFailures(raw, storeDir, dims,
+        cosineMinSim = Some(0.8))
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val streamed = SnapshotStore.read(spark, storeDir, "triples").get
+    val on = streamed.filter(col("obj_name") === "Waldron Shael").collect().head
+    assert(on.getAs[Boolean]("obj_linked"))
+    assert(on.getAs[String]("obj_final") === "Waldron Shale")
+    assert(on.getAs[Long]("strat_name_id") === 4260L)
+    // exact parity with the batch pipeline on the same pages: the tiers
+    // are per-name functions of the static dictionary, so micro-batch
+    // scoping is semantics-free (canonicalization stays in compaction)
+    val batch = KgPipeline.run(spark,
+      spark.read.parquet(pagesDir), dims, tierClient,
+      KgPipeline.Config(numPartitions = 2, canonicalize = false,
+        cosineAlignMinSim = Some(0.8))).triples
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(KgPipeline.TripleColumns.map(col): _*).collect().map(_.toSeq).toSet
+    assert(rows(streamed) === rows(batch))
+  }
+
   test("compaction: cross-batch surface variants collapse to one canonical entity") {
     import graft.sources.SnapshotStore
     val dir = java.nio.file.Files.createTempDirectory("compact").toString
