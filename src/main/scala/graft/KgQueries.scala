@@ -127,6 +127,10 @@ object KgQueries {
       .orderBy(desc("score"), col("url")).limit(SearchK)
   }
 
+  /** Unique memory-sink names for the streaming gate query (a restarted
+    * memory query may not reuse an active name). */
+  private val streamGateSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
   /** Per-(session, sf-dir, query) cache for the composed-pipeline gate
     * queries (kg_pipeline_dedup, kg_pipeline_failures). Each builds a FULL
     * fresh pipeline — LSH/CC rounds, inference, hydration, commit barriers —
@@ -659,6 +663,40 @@ object KgQueries {
       out
     }},
 
+    // §2.8 driver-gated STREAMING: a real Structured Streaming query —
+    // file source → extract → prompt → infer → parse → tier-1 align →
+    // hydrate (StreamingKg.triplesStream) → AvailableNow memory sink — over
+    // the fixture corpus, gated on the Sauk page's full triple set. The
+    // oracle rows are HAND-DERIVED: the 10 (subj, pred, obj) triplets are
+    // the reference's recorded extraction output (tests/conftest.py
+    // transcription, Fixtures.SaukGoldenTriples); every object is a
+    // dictionary alias (pinned dims), so obj_linked=true; strat_name_id per
+    // object read off the pinned dim rows (Dims.pinnedStrat) by the
+    // firstHit key rule. The engine never produced these values — a
+    // two-sided check that the STREAMING path extracts, links and hydrates
+    // exactly what batch fidelity demands.
+    "kg_stream_triples" -> { (s, dir) => cachedPipelineQuery(s, dir, "stream") {
+      val tmp = java.nio.file.Files.createTempDirectory("gatestreampages").toString
+      Pages.fixtures(s).write.mode("overwrite").parquet(tmp)
+      val (dims, _, _) = cachedDims(s)
+      val client = Inference.defaultClient(
+        Dims.pinnedStrat.map(_.strat_name).toArray,
+        Dims.gazetteer.map(_.name).toArray,
+        Dims.pinnedMinerals.map(_.mineral).toArray)
+      val qn = s"gate_stream_triples_${streamGateSeq.incrementAndGet()}"
+      val q = graft.streaming.StreamingKg.triplesStream(
+          graft.streaming.StreamingKg.pagesStream(s, tmp), dims, client)
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      s.table(qn)
+        .filter(col("url") === "https://fixtures.graft/sauk")
+        .select(col("subj_name"), col("predicate"), col("obj_name"),
+          col("obj_linked"), col("strat_name_id"))
+        .localCheckpoint(true)
+    }},
+
     // GraphOutput regrouping: the reference's output unit is a per-paragraph
     // graph (schema.py:432-447 GraphOutput = text hash + triplet list); this
     // regroups the exploded triples back to one row per page with a sorted,
@@ -1099,6 +1137,22 @@ object KgQueries {
            ('Jasper Member', NULL::DOUBLE, NULL::DOUBLE),
            ('Sauk Sequence', NULL::DOUBLE, NULL::DOUBLE)
          ) t(strat_name_long, clat, clng)""",
+    // Hand-derived: triplets transcribed from the reference's recorded
+    // Sauk output (tests/conftest.py); linked flags + ids read off the
+    // pinned dictionary rows, never from the engine.
+    "kg_stream_triples" ->
+      """SELECT * FROM (VALUES
+           ('Minnesota', 'unconformable contact', 'Shakopee Formation', true, 1278),
+           ('southern and eastern flanks of the Ozark dome', 'includes', 'Roubidoux', true, 5871),
+           ('southern and eastern flanks of the Ozark dome', 'includes', 'Jefferson City', true, 5872),
+           ('southern and eastern flanks of the Ozark dome', 'includes', 'Cotter', true, 5873),
+           ('southern and eastern flanks of the Ozark dome', 'includes', 'Powell', true, 5874),
+           ('southern and eastern flanks of the Ozark dome', 'includes', 'Smithville', true, 5933),
+           ('southern and eastern flanks of the Ozark dome', 'includes', 'Black Rock', true, 5934),
+           ('southern and eastern flanks of the Ozark dome', 'includes', 'Everton', true, 5875),
+           ('northern Arkansas', 'contains', 'Jasper Member', true, 5876),
+           ('Reelfoot rift of southeastern Missouri and northeastern Missouri', 'may be a correlative conformity', 'Sauk', true, 5877)
+         ) t(subj_name, predicate, obj_name, obj_linked, strat_name_id)""",
     "kg_entity_coords" ->
       """SELECT * FROM (VALUES
            ('https://fixtures.graft/sauk', 'Minnesota', 46.4419, -93.3655),
