@@ -99,10 +99,7 @@ object KgQueries {
     evictStopped(resultCache)
     resultCache.computeIfAbsent(s, s => {
       val (dims, prepared, alias) = cachedDims(s)
-      val client = Inference.defaultClient(
-        Dims.pinnedStrat.map(_.strat_name).toArray,
-        Dims.gazetteer.map(_.name).toArray,
-        Dims.pinnedMinerals.map(_.mineral).toArray)
+      val client = Inference.pinnedClient
       val res = KgPipeline.run(s, Pages.fixtures(s), dims, client,
         KgPipeline.Config(numPartitions = 4, emitRdf = true,
           prebuiltAlias = Some(alias), preparedDims = Some(prepared)))
@@ -647,10 +644,7 @@ object KgQueries {
     "kg_search_to_graph_slow" -> { (s, dir) => cachedPipelineQuery(s, dir, "search_slow") {
       val scored = searchScored(s).localCheckpoint(true) // bounded: ≤ SearchK rows
       val (dims, prepared, alias) = cachedDims(s)
-      val client = Inference.defaultClient(
-        Dims.pinnedStrat.map(_.strat_name).toArray,
-        Dims.gazetteer.map(_.name).toArray,
-        Dims.pinnedMinerals.map(_.mineral).toArray)
+      val client = Inference.pinnedClient
       val top = Pages.fixtures(s).join(broadcast(scored.select("url")), Seq("url"))
       val res = KgPipeline.run(s, top, dims, client,
         KgPipeline.Config(numPartitions = 4, emitRdf = true,
@@ -676,25 +670,34 @@ object KgQueries {
     // two-sided check that the STREAMING path extracts, links and hydrates
     // exactly what batch fidelity demands.
     "kg_stream_triples" -> { (s, dir) => cachedPipelineQuery(s, dir, "stream") {
-      val tmp = java.nio.file.Files.createTempDirectory("gatestreampages").toString
+      val tmpPath = java.nio.file.Files.createTempDirectory("gatestreampages")
+      val tmp = tmpPath.toString
       Pages.fixtures(s).write.mode("overwrite").parquet(tmp)
-      val (dims, _, _) = cachedDims(s)
-      val client = Inference.defaultClient(
-        Dims.pinnedStrat.map(_.strat_name).toArray,
-        Dims.gazetteer.map(_.name).toArray,
-        Dims.pinnedMinerals.map(_.mineral).toArray)
+      val (dims, prepared, alias) = cachedDims(s)
+      val client = Inference.pinnedClient
       val qn = s"gate_stream_triples_${streamGateSeq.incrementAndGet()}"
       val q = graft.streaming.StreamingKg.triplesStream(
-          graft.streaming.StreamingKg.pagesStream(s, tmp), dims, client)
+          graft.streaming.StreamingKg.pagesStream(s, tmp), dims, client,
+          prebuiltAlias = Some(alias), preparedDims = Some(prepared))
         .writeStream.format("memory").queryName(qn)
         .outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      q.awaitTermination(120000)
-      s.table(qn)
+      // a timed-out query is still appending: reading the memory table then
+      // would cache a PARTIAL result into the per-session gate cache
+      if (!q.awaitTermination(180000)) {
+        q.stop()
+        sys.error("kg_stream_triples: streaming query did not finish in 180 s")
+      }
+      val out = s.table(qn)
         .filter(col("url") === "https://fixtures.graft/sauk")
         .select(col("subj_name"), col("predicate"), col("obj_name"),
           col("obj_linked"), col("strat_name_id"))
         .localCheckpoint(true)
+      // the snapshot above is eager — release the full memory-sink table
+      // and the temp corpus copy
+      s.catalog.dropTempView(qn)
+      org.apache.commons.io.FileUtils.deleteQuietly(tmpPath.toFile)
+      out
     }},
 
     // GraphOutput regrouping: the reference's output unit is a per-paragraph

@@ -155,6 +155,15 @@ object Inference {
     new FixtureClient(FixtureClient.referenceRecordings,
       new HeuristicClient(stratNames, locationNames, mineralNames))
 
+  /** [[defaultClient]] over the pinned fixture dictionaries — the one
+    * construction every fixture-pipeline caller (gate queries, dev
+    * probes) shares, so the dictionary arguments cannot silently diverge
+    * between call sites. */
+  def pinnedClient: InferenceClient = defaultClient(
+    Dims.pinnedStrat.map(_.strat_name).toArray,
+    Dims.gazetteer.map(_.name).toArray,
+    Dims.pinnedMinerals.map(_.mineral).toArray)
+
   /** The real-LLM client seam, made concrete (reference model dispatch:
     * text2graph/llm.py:283-295 routes a model name to an OpenAI- or
     * vLLM-backed ask function). The transport — one JSON request body in,

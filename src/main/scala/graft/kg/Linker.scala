@@ -132,7 +132,8 @@ object Linker {
     * `obj_linked` set for tier-2 hits, untouched rows pass through. */
   def alignFuzzy(aligned: DataFrame, alias: DataFrame,
                  minJaccard: Double = 0.6,
-                 stopGramMaxDf: Option[Int] = None): DataFrame = {
+                 stopGramMaxDf: Option[Int] = None,
+                 prebuiltDict: Option[DataFrame] = None): DataFrame = {
     val unlinked = aligned.filter(!col("obj_linked"))
       .select(col("obj_kind").as("f_kind"), col("obj_name").as("f_name"))
       .distinct()
@@ -141,10 +142,7 @@ object Linker {
       .withColumn("f_size", size(col("f_grams")))
     val probe = unlinked.select(col("f_kind"), col("f_name"), col("f_size"),
       explode(col("f_grams")).as("gram"))
-    val dict = alias
-      .select(col("kind").as("a_kind"), col("alias_norm"), col("canonical"))
-      .withColumn("a_grams", charGrams(col("alias_norm")))
-      .withColumn("a_size", size(col("a_grams")))
+    val dict = prebuiltDict.getOrElse(fuzzyDict(alias))
     val build = dict.select(col("a_kind"), col("alias_norm"),
       col("canonical").as("a_canonical"), col("a_size"),
       explode(col("a_grams")).as("gram"))
@@ -203,6 +201,17 @@ object Linker {
       .select(col("f_kind"), col("f_name"), col("m.a_canonical").as("fuzzy_canonical"))
     applyTierSwap(aligned, best, "fuzzy_canonical")
   }
+
+  /** Tier-2's derived dictionary frame (gram arrays + sizes) — a pure
+    * function of the alias table. [[alignFuzzy]] derives it per call;
+    * long-running callers (the streaming sink, which would otherwise
+    * re-derive it every micro-batch) pass a persisted copy via
+    * `prebuiltDict`. */
+  def fuzzyDict(alias: DataFrame): DataFrame =
+    alias
+      .select(col("kind").as("a_kind"), col("alias_norm"), col("canonical"))
+      .withColumn("a_grams", charGrams(col("alias_norm")))
+      .withColumn("a_size", size(col("a_grams")))
 
   /** Shared rebind of a tier's argmax winners onto the aligned triples:
     * left-join `best(f_kind, f_name, <canon>)` against the STILL-unlinked
@@ -284,9 +293,10 @@ object Linker {
     * lexical-min alias. Output schema equals [[align]]'s. */
   def alignCosine(aligned: DataFrame, alias: DataFrame,
                   minSim: Double = 0.8, dim: Int = CosineDim,
-                  lshPrune: Option[(Int, Int)] = None): DataFrame = {
+                  lshPrune: Option[(Int, Int)] = None,
+                  prebuiltDict: Option[DataFrame] = None): DataFrame = {
     val unlinked = cosineUnlinked(aligned, dim)
-    val dict = cosineDict(alias, dim)
+    val dict = prebuiltDict.getOrElse(cosineDict(alias, dim))
     val pairs = lshPrune match {
       case None =>
         unlinked.join(broadcast(dict), col("f_kind") === col("a_kind"))

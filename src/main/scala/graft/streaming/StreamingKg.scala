@@ -72,17 +72,23 @@ object StreamingKg {
                     microBatch: Int = 200,
                     dedupWatermark: Option[String] = None,
                     jobStart: java.sql.Timestamp =
-                      java.sql.Timestamp.valueOf("2024-06-01 00:00:00")): DataFrame = {
+                      java.sql.Timestamp.valueOf("2024-06-01 00:00:00"),
+                    prebuiltAlias: Option[DataFrame] = None,
+                    preparedDims: Option[Hydrator.Prepared] = None): DataFrame = {
     val rawParsed = rawParsedStream(pages, dims, client, microBatch, dedupWatermark)
     val parsed = PostProcess.explodeParsed(rawParsed)
-    val aligned = Linker.align(parsed, Linker.aliasDim(dims))
+    val aligned = Linker.align(parsed,
+        prebuiltAlias.getOrElse(Linker.aliasDim(dims)))
       .withColumn("obj_final", col("obj_canonical"))
       .withColumn("entity_cluster_id", xxhash64(col("obj_kind"), col("obj_canonical")))
     // cache the prepared (window-deduped) hydration keys: the static side
     // of a stream-static join is re-evaluated every micro-batch, and
     // without the cache each batch would re-run the 4-tier strat union +
-    // firstHit windows — bootstrap work, not per-batch work
-    Hydrator.hydratePrepared(aligned, Hydrator.prepare(dims).cached(), jobStart)
+    // firstHit windows — bootstrap work, not per-batch work. A caller that
+    // already holds a prepared snapshot (the gate's cachedDims) passes it
+    // in instead of building a duplicate cached copy.
+    Hydrator.hydratePrepared(aligned,
+        preparedDims.getOrElse(Hydrator.prepare(dims).cached()), jobStart)
       .select(KgPipeline.TripleColumns.map(col): _*)
   }
 
@@ -172,19 +178,29 @@ object StreamingKg {
                                fuzzyStopGramMaxDf: Option[Int] = None,
                                cosineMinSim: Option[Double] = None,
                                cosineLshPrune: Option[(Int, Int)] = None): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
-    // bootstrap once per query, reused by every micro-batch closure
+    // bootstrap once per query, reused by every micro-batch closure — the
+    // static side of every stream-static stage (hydration keys, alias
+    // table, and each tier's DERIVED dictionary frame: gram arrays,
+    // gram-bucket embeddings) is cached here, or each micro-batch would
+    // re-run the identical dictionary featurization
     val prepared = Hydrator.prepare(dims).cached()
     val alias = Linker.aliasDim(dims).cache()
+    val fuzzyDict = fuzzyMinJaccard
+      .map(_ => Linker.fuzzyDict(alias).persist())
+    val cosineDict = cosineMinSim
+      .map(_ => Linker.cosineDict(alias).persist())
     rawParsed.writeStream.outputMode("append")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val b = batch.toDF().persist()
         try {
           val tier1 = Linker.align(PostProcess.explodeParsed(b), alias)
           val tier2 = fuzzyMinJaccard
-            .map(Linker.alignFuzzy(tier1, alias, _, fuzzyStopGramMaxDf))
+            .map(Linker.alignFuzzy(tier1, alias, _, fuzzyStopGramMaxDf,
+              prebuiltDict = fuzzyDict))
             .getOrElse(tier1)
           val tier3 = cosineMinSim
-            .map(t => Linker.alignCosine(tier2, alias, t, lshPrune = cosineLshPrune))
+            .map(t => Linker.alignCosine(tier2, alias, t,
+              lshPrune = cosineLshPrune, prebuiltDict = cosineDict))
             .getOrElse(tier2)
           val aligned = tier3
             .withColumn("obj_final", col("obj_canonical"))

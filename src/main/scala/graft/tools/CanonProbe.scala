@@ -16,10 +16,7 @@ object CanonProbe {
     spark.sparkContext.setLogLevel("ERROR")
     import graft.kg._
     val dims = Dims.tiny(spark).persisted()
-    val client = Inference.defaultClient(
-      Dims.pinnedStrat.map(_.strat_name).toArray,
-      Dims.gazetteer.map(_.name).toArray,
-      Dims.pinnedMinerals.map(_.mineral).toArray)
+    val client = Inference.pinnedClient
     def ttl(canon: Boolean) = {
       val res = KgPipeline.run(spark, Pages.fixtures(spark), dims, client,
         KgPipeline.Config(numPartitions = 4, emitRdf = true, canonicalize = canon))

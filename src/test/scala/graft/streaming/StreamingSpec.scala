@@ -155,7 +155,7 @@ class StreamingSpec extends SparkSpec {
         cosineMinSim = Some(0.8))
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(60000)
+    assert(q.awaitTermination(60000), "streaming query did not finish in 60 s")
     val streamed = SnapshotStore.read(spark, storeDir, "triples").get
     val on = streamed.filter(col("obj_name") === "Waldron Shael").collect().head
     assert(on.getAs[Boolean]("obj_linked"))
