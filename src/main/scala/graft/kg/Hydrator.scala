@@ -53,6 +53,12 @@ object Hydrator {
     def cached(): Prepared =
       Prepared(stratKeyed.cache(), mineralKeyed.cache(), gaz.cache(),
         lithKeyed.cache())
+    /** Release a [[cached]] snapshot — long-lived owners (the streaming
+      * sink bootstrap) must call this when the consuming query stops, or
+      * the four dim caches outlive the job. */
+    def unpersist(): Unit =
+      Seq(stratKeyed, mineralKeyed, gaz, lithKeyed)
+        .foreach(_.unpersist(blocking = false))
   }
 
   def prepare(dims: Dims.Snapshot): Prepared = {
@@ -153,10 +159,18 @@ object Hydrator {
     * outgrow executor memory, pass `false`: the joins become plain
     * equi-joins and AQE picks broadcast vs shuffle from runtime sizes — the
     * same escape hatch the alignment join has via align/alignSalted
-    * (identical output either way; parity-tested in KernelSpec). */
+    * (identical output either way; parity-tested in KernelSpec).
+    *
+    * `requestedAt` overrides the provenance timestamp SOURCE: by default
+    * every row stamps `lit(jobStart)` (one job, one timestamp — the batch
+    * pipeline's rule); a re-hydration pass over rows that already carry
+    * their original run's timestamp (the canonicalization compaction)
+    * passes the stored per-row column instead, so compacting never rewrites
+    * the provenance history of rows an earlier run committed. */
   def hydratePrepared(triples: DataFrame, prepared: Prepared,
                       jobStart: java.sql.Timestamp,
-                      broadcastDims: Boolean = true): DataFrame = {
+                      broadcastDims: Boolean = true,
+                      requestedAt: Option[Column] = None): DataFrame = {
     val Prepared(stratKeyed, mineralKeyed, gaz, lithKeyed) = prepared
     val hint: DataFrame => DataFrame =
       if (broadcastDims) broadcast else identity
@@ -188,7 +202,7 @@ object Hydrator {
       .drop("gaz_join", "gaz_name", "subj_join", "obj_join")
       .withColumnRenamed("lat", "subj_lat")
       .withColumnRenamed("lon", "subj_lon")
-      .withColumn("requested_at", lit(jobStart))
+      .withColumn("requested_at", requestedAt.getOrElse(lit(jobStart)))
 
     // Flattened provenance chain, oldest → newest (SURVEY §1.1: the
     // reference's recursive Provenance.previous becomes an ordered array;

@@ -193,15 +193,19 @@ object Inference {
       val payload = batch.map(r =>
         "\"" + esc(if (r.prompt.nonEmpty) r.prompt else r.text) + "\"")
         .mkString(s"""{"model": "${esc(modelId)}", "prompts": [""", ", ", "]}")
-      // Retries heal TRANSIENT faults: the POST threw (timeout, reset), or
-      // the body is not JSON at all — a proxy/load-balancer error page
+      // Retries heal TRANSIENT faults: the POST threw (timeout, reset); the
+      // body is not JSON at all — a proxy/load-balancer error page
       // ("<html>502...") arrives as a normal return value when the injected
-      // transport does not throw on non-2xx, and re-sending can heal it.
-      // A WELL-FORMED JSON response whose `outputs` is missing or has the
-      // wrong cardinality is the endpoint itself violating the contract —
-      // deterministic given the same payload, so re-sending cannot heal it
-      // and against a paid endpoint would bill the batch maxRetries times:
-      // it degrades to empty raws after ONE such response.
+      // transport does not throw on non-2xx; or the body is a JSON error
+      // ENVELOPE — real endpoints report 429/503 as JSON too
+      // ({"error": "rate limited"}), so a body carrying an `error` field or
+      // no `outputs` key at all is treated as transient and re-sent.
+      // Only a response whose `outputs` IS present but has the wrong shape
+      // (non-array, or cardinality != batch size) is the endpoint itself
+      // violating the generate contract — deterministic given the same
+      // payload, so re-sending cannot heal it and against a paid endpoint
+      // would bill the batch maxRetries times: it degrades to empty raws
+      // after ONE such response.
       var attempt = 0
       var out: Option[Seq[String]] = None
       var contractViolation = false
@@ -214,8 +218,10 @@ object Inference {
             catch { case _: Exception => None } // not JSON: transient, retry
           root.foreach { r =>
             val arr = r.get("outputs")
-            if (arr == null || !arr.isArray || arr.size != batch.size)
-              contractViolation = true // valid JSON, broken contract: fail fast
+            if (r.has("error") || arr == null)
+              () // JSON error envelope / no outputs: transient, retry
+            else if (!arr.isArray || arr.size != batch.size)
+              contractViolation = true // outputs present, wrong shape: fail fast
             else out = Some((0 until arr.size).map(i => arr.get(i).asText))
           }
         } catch { case _: Exception => () } // transport fault: retry

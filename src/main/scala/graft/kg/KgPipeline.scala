@@ -247,9 +247,12 @@ object KgPipeline {
     val aligned1 = cfg.fuzzyAlignMinJaccard
       .map(t => Linker.alignFuzzy(aligned0, alias, t, cfg.fuzzyStopGramMaxDf))
       .getOrElse(aligned0)
+    // tier-3's LSH-prune path persists its probe/dict subtrees; collect
+    // them here so Result.cleanup releases them with the run's other caches
+    val tierCached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     val aligned = cfg.cosineAlignMinSim
       .map(t => Linker.alignCosine(aligned1, alias, t,
-        lshPrune = cfg.cosineAlignLshPrune))
+        lshPrune = cfg.cosineAlignLshPrune, registerCached = tierCached += _))
       .getOrElse(aligned1)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
@@ -318,7 +321,7 @@ object KgPipeline {
         PostProcess.failedStage(col("parse_status")).as("failed_stage"))
 
     val rdf = if (cfg.emitRdf) Some(Rdf.fromHydrated(hydrated, dims)) else None
-    val cached = dedupCached :+ rawParsed :+ aligned
+    val cached = dedupCached ++ tierCached :+ rawParsed :+ aligned
     Result(triples, lineage, rdf, failedUrls,
       () => cached.foreach(_.unpersist(blocking = false)))
   }

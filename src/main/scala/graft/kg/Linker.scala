@@ -133,7 +133,8 @@ object Linker {
   def alignFuzzy(aligned: DataFrame, alias: DataFrame,
                  minJaccard: Double = 0.6,
                  stopGramMaxDf: Option[Int] = None,
-                 prebuiltDict: Option[DataFrame] = None): DataFrame = {
+                 prebuiltDict: Option[DataFrame] = None,
+                 prebuiltStopGrams: Option[DataFrame] = None): DataFrame = {
     val unlinked = aligned.filter(!col("obj_linked"))
       .select(col("obj_kind").as("f_kind"), col("obj_name").as("f_name"))
       .distinct()
@@ -159,11 +160,11 @@ object Linker {
           .filter(col("jaccard") >= minJaccard)
       case Some(cap) =>
         // stop-gram list from the dictionary side only (deterministic,
-        // corpus-independent): df = how many aliases contain the gram
-        val stop = build.groupBy(col("a_kind").as("s_kind"), col("gram").as("s_gram"))
-          .agg(count(lit(1)).as("gram_df"))
-          .filter(col("gram_df") > cap)
-          .select("s_kind", "s_gram")
+        // corpus-independent): df = how many aliases contain the gram.
+        // Batch-independent like the dictionary itself, so long-running
+        // callers (the streaming sink) precompute it once via [[stopGrams]]
+        // instead of re-aggregating the dictionary every micro-batch.
+        val stop = prebuiltStopGrams.getOrElse(stopGrams(dict, cap))
         val bSel = build.join(stop,
           col("a_kind") === col("s_kind") && col("gram") === col("s_gram"), "left_anti")
         val pSel = probe.join(stop,
@@ -212,6 +213,18 @@ object Linker {
       .select(col("kind").as("a_kind"), col("alias_norm"), col("canonical"))
       .withColumn("a_grams", charGrams(col("alias_norm")))
       .withColumn("a_size", size(col("a_grams")))
+
+  /** The stop-gram list for [[alignFuzzy]]'s capped candidate generation —
+    * grams whose dictionary document frequency exceeds `cap`, derived from
+    * a [[fuzzyDict]] frame. A pure function of the dictionary (never the
+    * corpus), so it is computed once per job; streaming callers persist it
+    * alongside the prebuilt dict and pass it via `prebuiltStopGrams`. */
+  def stopGrams(dict: DataFrame, cap: Int): DataFrame =
+    dict.select(col("a_kind"), explode(col("a_grams")).as("gram"))
+      .groupBy(col("a_kind").as("s_kind"), col("gram").as("s_gram"))
+      .agg(count(lit(1)).as("gram_df"))
+      .filter(col("gram_df") > cap)
+      .select("s_kind", "s_gram")
 
   /** Shared rebind of a tier's argmax winners onto the aligned triples:
     * left-join `best(f_kind, f_name, <canon>)` against the STILL-unlinked
@@ -291,17 +304,26 @@ object Linker {
     * bit-reproducible (and bit-equal to an engine repeating the same
     * arithmetic, which the gate oracle does). Ties break to the
     * lexical-min alias. Output schema equals [[align]]'s. */
+  /** @param registerCached receives every frame the LSH-prune path
+    *        persists (the probe/dict sides feed two subtrees each, so they
+    *        must cache — see [[cosineLshCandidates]]), so the OWNER of the
+    *        run can unpersist them: the batch pipeline adds them to
+    *        Result.cleanup, the streaming sink releases them at the end of
+    *        each micro-batch. Without a hook the caches outlived the run —
+    *        a long-running stream accumulated one pair per micro-batch
+    *        (ADVICE round 5). Default no-op is for short-lived dev tools. */
   def alignCosine(aligned: DataFrame, alias: DataFrame,
                   minSim: Double = 0.8, dim: Int = CosineDim,
                   lshPrune: Option[(Int, Int)] = None,
-                  prebuiltDict: Option[DataFrame] = None): DataFrame = {
+                  prebuiltDict: Option[DataFrame] = None,
+                  registerCached: DataFrame => Unit = _ => ()): DataFrame = {
     val unlinked = cosineUnlinked(aligned, dim)
     val dict = prebuiltDict.getOrElse(cosineDict(alias, dim))
     val pairs = lshPrune match {
       case None =>
         unlinked.join(broadcast(dict), col("f_kind") === col("a_kind"))
       case Some((planes, bands)) =>
-        cosineLshCandidates(unlinked, dict, planes, bands)
+        cosineLshCandidates(unlinked, dict, planes, bands, registerCached)
     }
     val scored = pairs
       .withColumn("sim",
@@ -363,18 +385,26 @@ object Linker {
     *      broadcast hint — this path exists precisely because the
     *      dictionary outgrew one; AQE still broadcasts at small scale). */
   private[graft] def cosineLshCandidates(unlinked: DataFrame, dict: DataFrame,
-                                         planes: Int, bands: Int): DataFrame = {
+                                         planes: Int, bands: Int,
+                                         registerCached: DataFrame => Unit = _ => ()): DataFrame = {
     require(planes > 0 && bands > 0 && planes % bands == 0,
       s"lshPrune needs planes > 0 divisible by bands, got ($planes, $bands)")
     val rows = planes / bands
     // Both sides feed two subtrees each (signature + candidate
     // rehydration) whose exchanges differ, so ReuseExchange cannot
     // deduplicate them — persist so the gram featurization (the heaviest
-    // projection in the path's operating regime) runs once per side. The
+    // projection in the path's operating regime) runs once per side, and
+    // hand each NEWLY persisted frame to registerCached so the caller can
+    // release it (an already-persisted input — the streaming bootstrap's
+    // prebuilt dict — is left alone: its owner manages its lifetime). The
     // seed collect below materializes the dict cache as a side effect.
     import org.apache.spark.storage.StorageLevel
-    val u = unlinked.persist(StorageLevel.MEMORY_AND_DISK)
-    val d = dict.persist(StorageLevel.MEMORY_AND_DISK)
+    def persistOwned(df: DataFrame): DataFrame =
+      if (df.storageLevel == StorageLevel.NONE) {
+        val p = df.persist(StorageLevel.MEMORY_AND_DISK); registerCached(p); p
+      } else df
+    val u = persistOwned(unlinked)
+    val d = persistOwned(dict)
     // Deterministic bounded plane build: the first 2·planes dictionary
     // vectors in (kind, alias) lexical order, paired consecutively. A
     // dictionary smaller than 2·planes yields fewer planes — the LAST

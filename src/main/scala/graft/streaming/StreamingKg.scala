@@ -150,6 +150,20 @@ object StreamingKg {
         commitBatch(dir, "triples", batch.toDF(), batchId); ()
       }
 
+  /** A started failure sink plus the release hook for its bootstrap
+    * caches. [[snapshotSinkWithFailures]] caches the static side of every
+    * stream-static stage once per QUERY (dim keys, alias table, derived
+    * tier dictionaries) — state Spark cannot age out for us because it
+    * belongs to the writer closure, not the stream. The OWNER of the query
+    * calls `release()` after the query stops (idempotent; safe to put in a
+    * `finally`) or the caches outlive the job (ADVICE round 5). */
+  final case class FailureSink(
+      writer: org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row],
+      private val caches: () => Unit) {
+    private val released = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def release(): Unit = if (released.compareAndSet(false, true)) caches()
+  }
+
   /** Streaming sink WITH failure bookkeeping — the streaming form of the
     * batch commit's "NA" semantics: input is the pre-explode
     * [[rawParsedStream]], and each micro-batch splits BATCH-SIDE (no
@@ -177,30 +191,40 @@ object StreamingKg {
                                fuzzyMinJaccard: Option[Double] = None,
                                fuzzyStopGramMaxDf: Option[Int] = None,
                                cosineMinSim: Option[Double] = None,
-                               cosineLshPrune: Option[(Int, Int)] = None): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+                               cosineLshPrune: Option[(Int, Int)] = None): FailureSink = {
     // bootstrap once per query, reused by every micro-batch closure — the
     // static side of every stream-static stage (hydration keys, alias
-    // table, and each tier's DERIVED dictionary frame: gram arrays,
-    // gram-bucket embeddings) is cached here, or each micro-batch would
-    // re-run the identical dictionary featurization
+    // table, each tier's DERIVED dictionary frame: gram arrays,
+    // gram-bucket embeddings, and the fuzzy tier's stop-gram list — all
+    // pure functions of the dictionary, never the batch) is cached here,
+    // or each micro-batch would re-run the identical dictionary
+    // featurization. Released by FailureSink.release() when the owner is
+    // done with the query.
     val prepared = Hydrator.prepare(dims).cached()
     val alias = Linker.aliasDim(dims).cache()
     val fuzzyDict = fuzzyMinJaccard
       .map(_ => Linker.fuzzyDict(alias).persist())
+    val fuzzyStop = for { d <- fuzzyDict; cap <- fuzzyStopGramMaxDf }
+      yield Linker.stopGrams(d, cap).persist()
     val cosineDict = cosineMinSim
       .map(_ => Linker.cosineDict(alias).persist())
-    rawParsed.writeStream.outputMode("append")
+    val writer = rawParsed.writeStream.outputMode("append")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val b = batch.toDF().persist()
+        // per-batch caches the tiers create for THIS batch's rows (the
+        // cosine LSH prune persists its probe subtree) — released with the
+        // batch frame, so a long-running stream holds only the bootstrap
+        val batchCached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
         try {
           val tier1 = Linker.align(PostProcess.explodeParsed(b), alias)
           val tier2 = fuzzyMinJaccard
             .map(Linker.alignFuzzy(tier1, alias, _, fuzzyStopGramMaxDf,
-              prebuiltDict = fuzzyDict))
+              prebuiltDict = fuzzyDict, prebuiltStopGrams = fuzzyStop))
             .getOrElse(tier1)
           val tier3 = cosineMinSim
             .map(t => Linker.alignCosine(tier2, alias, t,
-              lshPrune = cosineLshPrune, prebuiltDict = cosineDict))
+              lshPrune = cosineLshPrune, prebuiltDict = cosineDict,
+              registerCached = batchCached += _))
             .getOrElse(tier2)
           val aligned = tier3
             .withColumn("obj_final", col("obj_canonical"))
@@ -213,9 +237,18 @@ object StreamingKg {
             .select(col("url"),
               PostProcess.failedStage(col("parse_status")).as("failed_stage"))
           commitBatchTables(dir, Map("triples" -> triples, "failed" -> failed), batchId)
-        } finally b.unpersist()
+        } finally {
+          batchCached.foreach(_.unpersist(blocking = false))
+          b.unpersist()
+        }
         ()
       }
+    FailureSink(writer, () => {
+      prepared.unpersist()
+      alias.unpersist(blocking = false)
+      (fuzzyDict.toSeq ++ fuzzyStop ++ cosineDict)
+        .foreach(_.unpersist(blocking = false))
+    })
   }
 
   /** Periodic batch compaction — the cross-batch step the incremental
@@ -230,8 +263,13 @@ object StreamingKg {
     *        canonical carries hydration columns joined on the OLD name —
     *        re-running the (stateless, broadcast) hydration joins on the
     *        compacted names brings the dim columns back in line with the
-    *        batch pipeline's canonicalize-then-hydrate order. Omitted, the
-    *        hydration columns pass through unchanged (pure-canonicalize
+    *        batch pipeline's canonicalize-then-hydrate order. The stored
+    *        per-row `requested_at` is PRESERVED through re-hydration
+    *        (passed to hydratePrepared as the provenance timestamp source),
+    *        so compacting never restamps the provenance history of rows an
+    *        earlier run committed — `jobStart` is only the fallback for a
+    *        store whose rows predate the column (ADVICE round 5). Omitted,
+    *        the hydration columns pass through unchanged (pure-canonicalize
     *        compaction). */
   def compactCanonicalize(spark: SparkSession, dir: String,
                           dims: Option[Dims.Snapshot] = None,
@@ -249,10 +287,12 @@ object StreamingKg {
         case Some(d) =>
           val core = Seq("url", "hashed_text", "model_id", "prompt_version",
             "subj_name", "predicate", "obj_name", "obj_kind", "obj_canonical",
-            "obj_linked", "obj_final", "entity_cluster_id")
+            "obj_linked", "obj_final", "entity_cluster_id", "requested_at")
             .filter(canonicalized.columns.contains)
           Hydrator.hydratePrepared(
-            canonicalized.select(core.map(col): _*), Hydrator.prepare(d), jobStart)
+            canonicalized.select(core.map(col): _*), Hydrator.prepare(d), jobStart,
+            requestedAt =
+              if (core.contains("requested_at")) Some(col("requested_at")) else None)
         case None => canonicalized
       }
       val compacted = rehydrated

@@ -213,6 +213,25 @@ class PostProcessSpec extends AnyFunSuite {
     }, maxRetries = 3)
     assert(down.infer(two) === Seq("", ""))
     assert(calls4 === 3)
+    // a JSON error ENVELOPE ({"error": "rate limited"} — how real
+    // endpoints surface 429/503 bodies) is TRANSIENT: retried, not
+    // classified as a contract violation (ADVICE round 5)
+    var calls5 = 0
+    val limited = new Inference.TransportClient("vllm-test", { _ =>
+      calls5 += 1
+      if (calls5 < 3) """{"error": "rate limited", "retry_after": 1}"""
+      else """{"outputs": ["a", "b"]}"""
+    }, maxRetries = 3)
+    assert(limited.infer(two) === Seq("a", "b"))
+    assert(calls5 === 3)
+    // ...and an error field beside a well-shaped outputs array still reads
+    // as an error envelope (retry), never a half-trusted success
+    var calls6 = 0
+    val mixed = new Inference.TransportClient("vllm-test", { _ =>
+      calls6 += 1; """{"outputs": ["x", "y"], "error": "partial failure"}"""
+    }, maxRetries = 2)
+    assert(mixed.infer(two) === Seq("", ""))
+    assert(calls6 === 2)
   }
 
   test("clientFor dispatch: heuristic by default, transport required otherwise") {

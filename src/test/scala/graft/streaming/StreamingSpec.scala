@@ -112,10 +112,13 @@ class StreamingSpec extends SparkSpec {
     val raw = StreamingKg.rawParsedStream(
       StreamingKg.pagesStream(spark, pagesDir), dims,
       new graft.kg.HealToggle.HealingClient)
-    val q = StreamingKg.snapshotSinkWithFailures(raw, storeDir, dims)
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(60000)
+    val sink = StreamingKg.snapshotSinkWithFailures(raw, storeDir, dims)
+    try {
+      val q = sink.writer
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+    } finally sink.release()
 
     // one atomic snapshot carries BOTH tables
     val failed = SnapshotStore.read(spark, storeDir, "failed").get
@@ -151,11 +154,14 @@ class StreamingSpec extends SparkSpec {
       Dims.gazetteer.map(_.name).toArray, Array())
     val raw = StreamingKg.rawParsedStream(
       StreamingKg.pagesStream(spark, pagesDir), dims, tierClient)
-    val q = StreamingKg.snapshotSinkWithFailures(raw, storeDir, dims,
-        cosineMinSim = Some(0.8))
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow()).start()
-    assert(q.awaitTermination(60000), "streaming query did not finish in 60 s")
+    val sink = StreamingKg.snapshotSinkWithFailures(raw, storeDir, dims,
+      cosineMinSim = Some(0.8))
+    try {
+      val q = sink.writer
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(60000), "streaming query did not finish in 60 s")
+    } finally sink.release()
     val streamed = SnapshotStore.read(spark, storeDir, "triples").get
     val on = streamed.filter(col("obj_name") === "Waldron Shael").collect().head
     assert(on.getAs[Boolean]("obj_linked"))
@@ -209,6 +215,36 @@ class StreamingSpec extends SparkSpec {
     val old = SnapshotStore.read(spark, dir, "triples", Some(2)).get
     assert(old.count() === 2)
     assert(old.filter(col("obj_canonical") === "foo formation.").count() === 1)
+  }
+
+  test("compaction re-hydration preserves each row's original requested_at provenance") {
+    import graft.sources.SnapshotStore
+    val dir = java.nio.file.Files.createTempDirectory("compactprov").toString
+    // rows committed by an earlier run carry THAT run's timestamp...
+    val t1 = java.sql.Timestamp.valueOf("2023-03-03 03:03:03")
+    val committed = KgPipeline.run(spark, Pages.fixtures(spark), dims, client,
+      KgPipeline.Config(numPartitions = 2, canonicalize = false, jobStart = t1))
+      .triples.select(KgPipeline.TripleColumns.map(col): _*)
+    StreamingKg.commitBatch(dir, "triples", committed, 0)
+    // ...and a LATER compaction that re-hydrates (dims supplied) with its
+    // own jobStart must not restamp them: requested_at and every
+    // provenance-hop timestamp keep the original run's value (ADVICE r5)
+    val t2 = java.sql.Timestamp.valueOf("2025-05-05 05:05:05")
+    StreamingKg.compactCanonicalize(spark, dir, dims = Some(dims), jobStart = t2)
+    val after = SnapshotStore.read(spark, dir, "triples").get
+    assert(after.columns.toSeq === KgPipeline.TripleColumns)
+    assert(after.count() === committed.count())
+    val stamps = after.select(col("requested_at"),
+        expr("transform(provenance, h -> h.requested)").as("hops"))
+      .collect()
+    assert(stamps.nonEmpty)
+    stamps.foreach { r =>
+      assert(r.getTimestamp(0) === t1)
+      r.getSeq[java.sql.Timestamp](1).foreach(h => assert(h === t1))
+    }
+    // hydration columns survived the round trip (joined on the same names)
+    val shak = after.filter(col("obj_name") === "Shakopee Formation").collect()
+    assert(shak.nonEmpty && shak.forall(_.getAs[Long]("strat_name_id") === 1278L))
   }
 
   test("watermarked windowed aggregation over an event stream") {
