@@ -233,6 +233,48 @@ object KgQueries {
         .select(col("obj_name").as("name"), col("obj_canonical"), col("obj_linked"))
     },
 
+    // J2 tier-2 with the stop-gram cap ENGAGED (stopGramMaxDf = 3): the
+    // web-scale skew lever proven at the driver gate. Dictionary: "waldron
+    // shale" + four "... formation" aliases, so every gram of the shared
+    // " formation" suffix (" fo" for orm rma mat ati tio ion, plus "a f" —
+    // all five formation names end in 'a') has df = 4 > 3 and is a stop
+    // gram (9 total). Hand-derived candidate arithmetic (distinct char
+    // 3-grams of the normalized names):
+    //  - "Waldron Shael": 9 shared non-stop grams with "waldron shale" →
+    //    candidate survives the cap, exact J = 9/13 ≈ 0.692 >= 0.6 → links.
+    //  - "Alpha Formaton": shares alp/lph/pha/"ha " (df=1) with "alpha
+    //    formation" → candidate survives, exact J = 10/15 ≈ 0.667 → links;
+    //    its beta/gamma/delta candidates (uncapped J = 6/18 ≈ 0.333) share
+    //    ONLY stop grams and are never generated.
+    //  - "Epsilon Formation": its four formation candidates (uncapped
+    //    J = 8/20 = 0.4 < 0.6) share only stop grams — pruned from
+    //    generation; the one surviving candidate ("on " with waldron
+    //    shale, J = 1/25) is far below threshold → stays unlinked.
+    // The cap provably changes candidate GENERATION (7 of 9 uncapped
+    // candidate pairs never form) but not the emitted links — the oracle
+    // rows are the uncapped fixture's semantics.
+    "kg_align_fuzzy_capped" -> { (s, dir) =>
+      import s.implicits._
+      val alias = Seq(
+        ("waldron shale", "Waldron Shale"),
+        ("alpha formation", "Alpha Formation"),
+        ("beta formation", "Beta Formation"),
+        ("gamma formation", "Gamma Formation"),
+        ("delta formation", "Delta Formation"))
+        .toDF("alias_norm", "canonical")
+        .withColumn("kind", lit(Model.ObjKind.Strat))
+      val names = Seq("Waldron Shale", "Waldron Shael", "Alpha Formaton",
+          "Epsilon Formation")
+        .toDF("n")
+        .select(lit("https://q/fuzzycap").as("url"), lit("h").as("hashed_text"),
+          lit("m").as("model_id"), lit("Indiana").as("subj_name"),
+          lit("is in").as("predicate"),
+          col("n").as("obj_name"), lit(Model.ObjKind.Strat).as("obj_kind"))
+      Linker.alignFuzzy(Linker.align(names, alias), alias, minJaccard = 0.6,
+          stopGramMaxDf = Some(3))
+        .select(col("obj_name").as("name"), col("obj_canonical"), col("obj_linked"))
+    },
+
     // J2 tier-3 — the reference's kNN-cosine alignment geometry itself
     // (alignment.py:110-119) under the deterministic hashed char-3-gram
     // embedding: argmax cosine against the broadcast known-entity matrix,
@@ -1002,6 +1044,17 @@ object KgQueries {
            ('Waldron Shale', 'Waldron Shale', true),
            ('Waldron Shael', 'Waldron Shale', true),
            ('Waldrop Q', 'Waldrop Q', false)
+         ) t(name, obj_canonical, obj_linked)""",
+    // hand-derived (gram arithmetic in the query's comment): the cap prunes
+    // 7 of 9 candidate pairs (those sharing only " formation"-suffix stop
+    // grams) but survivors re-score exactly, so emitted links equal the
+    // uncapped semantics: J=9/13 and J=10/15 link, J<=0.4 rows don't
+    "kg_align_fuzzy_capped" ->
+      """SELECT * FROM (VALUES
+           ('Waldron Shale', 'Waldron Shale', true),
+           ('Waldron Shael', 'Waldron Shale', true),
+           ('Alpha Formaton', 'Alpha Formation', true),
+           ('Epsilon Formation', 'Epsilon Formation', false)
          ) t(name, obj_canonical, obj_linked)""",
     // Full re-derivation of the tier-1 + tier-3 chain in DuckDB: identical
     // normalization, gram extraction, md5 bucketing, 64-dim gram

@@ -164,6 +164,38 @@ object Inference {
     Dims.gazetteer.map(_.name).toArray,
     Dims.pinnedMinerals.map(_.mineral).toArray)
 
+  /** Upper bound on the prompt-dictionary driver collect. The reference
+    * ships its whole 45,646-name list into every job the same way
+    * (chtc/preprocess_extraction_direct.py:19-28 loads the frozen global
+    * list), and a dictionary-bounded dim stays well under this. The bound
+    * exists for the OPEN-VOCABULARY posture: an alias table that grows with
+    * the corpus must not ride a driver collect — build a capped top-df
+    * slice of it (a bounded snapshot) and pass that through
+    * `Config.promptDicts` / `rawParsedStream(promptDicts = ...)` instead. */
+  val PromptDictMaxTerms: Int = 250000
+
+  /** The prompt-dictionary bootstrap BOTH pipeline skins share (batch
+    * KgPipeline.run and streaming rawParsedStream) — the one driver-side
+    * collect in the engine whose bound is the dictionary rather than a
+    * constant, so it is guarded: the collect itself is `limit(max+1)`
+    * (never materializes an oversized column on the driver) and an
+    * over-bound dictionary fails fast with the open-vocabulary remedy
+    * instead of OOMing the driver mid-job. */
+  def promptDictsFromDims(dims: Dims.Snapshot,
+                          maxTerms: Int = PromptDictMaxTerms): Seq[HandlerDict] = {
+    def bounded(df: DataFrame, colName: String): Array[String] = {
+      val rows = df.select(colName).limit(maxTerms + 1).collect()
+      require(rows.length <= maxTerms,
+        s"prompt dictionary column '$colName' exceeds the $maxTerms-term " +
+          "driver-collect bound; pass a capped top-df dictionary slice via " +
+          "Config.promptDicts / rawParsedStream(promptDicts) instead of " +
+          "collecting the open-vocabulary table whole")
+      rows.map(_.getString(0))
+    }
+    Seq(Prompts.StratV3 -> bounded(dims.stratDim, "strat_name"),
+      Prompts.MineralV0 -> bounded(dims.mineralDim, "mineral"))
+  }
+
   /** The real-LLM client seam, made concrete (reference model dispatch:
     * text2graph/llm.py:283-295 routes a model name to an OpenAI- or
     * vLLM-backed ask function). The transport — one JSON request body in,

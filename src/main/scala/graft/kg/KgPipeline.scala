@@ -220,11 +220,8 @@ object KgPipeline {
     val extracted = deduped.repartition(cfg.numPartitions, col("url"))
 
     // P2 + B2/B3: prompt construction + batched inference in mapPartitions.
-    val prompting = cfg.promptDicts.getOrElse(Seq(
-      Prompts.StratV3 -> dims.stratDim.select("strat_name")
-        .collect().map(_.getString(0)),
-      Prompts.MineralV0 -> dims.mineralDim.select("mineral")
-        .collect().map(_.getString(0))))
+    val prompting = cfg.promptDicts
+      .getOrElse(Inference.promptDictsFromDims(dims))
     val raw = Inference.run(extracted, client, cfg.microBatch, prompting)
 
     // P3/P4/P5: lenient parse → validated triples. The PRE-explode frame is

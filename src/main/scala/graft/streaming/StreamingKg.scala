@@ -101,12 +101,13 @@ object StreamingKg {
   def rawParsedStream(pages: DataFrame, dims: Dims.Snapshot,
                       client: Inference.InferenceClient,
                       microBatch: Int = 200,
-                      dedupWatermark: Option[String] = None): DataFrame = {
-    val prompting: Seq[Inference.HandlerDict] = Seq(
-      Prompts.StratV3 -> dims.stratDim.select("strat_name")
-        .collect().map(_.getString(0)),
-      Prompts.MineralV0 -> dims.mineralDim.select("mineral")
-        .collect().map(_.getString(0)))
+                      dedupWatermark: Option[String] = None,
+                      promptDicts: Option[Seq[Inference.HandlerDict]] = None): DataFrame = {
+    // shared bounded bootstrap (Inference.promptDictsFromDims guards the
+    // driver collect); an open-vocabulary deployment passes its capped
+    // top-df dictionary slice via promptDicts instead
+    val prompting = promptDicts
+      .getOrElse(Inference.promptDictsFromDims(dims))
     val extracted0 = pages
       .withColumn("text", udf((h: Array[Byte]) => HtmlText.extract(h)).apply(col("html")))
       .withColumn("hashed_text", sha2(col("text"), 256))

@@ -573,6 +573,56 @@ class KgPipelineSpec extends SparkSpec {
     assert(waldron.getAs[Boolean]("obj_linked"))
   }
 
+  test("stop-gram list on the gate fixture: exactly the shared-suffix grams; prebuilt path agrees") {
+    // the kg_align_fuzzy_capped gate's dictionary: four "... formation"
+    // aliases (all ending in 'a') + one unrelated name. At cap=3 the stop
+    // set must be exactly the 9 grams of the shared " formation" suffix —
+    // hand-derived, pinning that the gate's cap genuinely engages
+    val alias = Seq("waldron shale", "alpha formation", "beta formation",
+        "gamma formation", "delta formation")
+      .toDF("alias_norm")
+      .withColumn("canonical", col("alias_norm"))
+      .withColumn("kind", lit(Model.ObjKind.Strat))
+    val dict = Linker.fuzzyDict(alias)
+    val stop = Linker.stopGrams(dict, 3).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(stop === Set(" fo", "a f", "ati", "for", "ion", "mat", "orm",
+      "rma", "tio").map((Model.ObjKind.Strat, _)))
+    // passing the precomputed list (the streaming sink's bootstrap path)
+    // yields the identical alignment as deriving it in-call
+    val names = Seq("Alpha Formaton", "Epsilon Formation").toDF("n")
+      .select(lit("https://t/capstop").as("url"), lit("h").as("hashed_text"),
+        lit("m").as("model_id"), lit("Indiana").as("subj_name"),
+        lit("is in").as("predicate"),
+        col("n").as("obj_name"), lit(Model.ObjKind.Strat).as("obj_kind"))
+    val aligned = Linker.align(names, alias)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("obj_name", "obj_canonical", "obj_linked")
+        .collect().map(_.toSeq).toSet
+    val derived = rows(Linker.alignFuzzy(aligned, alias, minJaccard = 0.6,
+      stopGramMaxDf = Some(3)))
+    val prebuilt = rows(Linker.alignFuzzy(aligned, alias, minJaccard = 0.6,
+      stopGramMaxDf = Some(3), prebuiltDict = Some(dict),
+      prebuiltStopGrams = Some(Linker.stopGrams(dict, 3))))
+    assert(prebuilt === derived)
+    assert(derived === Set(
+      Seq("Alpha Formaton", "alpha formation", true),
+      Seq("Epsilon Formation", "Epsilon Formation", false)))
+  }
+
+  test("prompt-dictionary bootstrap: shared accessor is bounded and fails fast past the cap") {
+    val dicts = Inference.promptDictsFromDims(dims)
+    assert(dicts.map(_._1) === Seq(Prompts.StratV3, Prompts.MineralV0))
+    assert(dicts.head._2.contains("Shakopee"))
+    // past the cap: fail-fast with the open-vocabulary remedy in the
+    // message — never an unbounded driver collect
+    val e = intercept[IllegalArgumentException] {
+      Inference.promptDictsFromDims(dims, maxTerms = 2)
+    }
+    assert(e.getMessage.contains("driver-collect bound"))
+    assert(e.getMessage.contains("promptDicts"))
+  }
+
   private def out_rows(df: org.apache.spark.sql.DataFrame) =
     df.collect().map(r => (r.getString(0), r.getString(1), r.getBoolean(2))).toSet
 
