@@ -396,6 +396,60 @@ object KgQueries {
       out
     }},
 
+    // Recall gate on the reference's OWN eval artifact
+    // (data/testset_micro.parquet.gzip, 30 real xDD paragraphs transcribed
+    // in EvalSet): the full extraction pipeline — render→extract roundtrip,
+    // mention scan, prompt-free heuristic inference, parse, tier-1 align —
+    // runs over messy real-world text (unicode punctuation, column-layout
+    // line breaks, OCR artifacts) with the 30 formation names as the strat
+    // dictionary. The oracle is HAND-DERIVED from the extractor's specified
+    // matching rule, never from engine output: found(row) ⇔ formation_name
+    // occurs whole-word (ASCII \b boundaries, case-sensitive — the strat
+    // scanner's exact semantics, MentionScanner scaladoc) in its paragraph.
+    // 27 of 30 rows are present; the 3 misses are case-only (the artifact
+    // spells "Unicoi/Ravenscrag formation" capitalized while the paragraph
+    // has lowercase 'formation'; "Mcleary" vs the paragraph's "McLeary") —
+    // the achievable bound of any case-exact extractor, which the gate pins
+    // exactly. Location anchors: the heuristic emits a triple only when a
+    // location mention precedes/follows the entity, so the location
+    // dictionary is the ubiquitous function words ("the", "of") — present
+    // in every found paragraph (verified in the oracle derivation), making
+    // the gate a pure object-recall measurement.
+    "kg_eval_recall" -> { (s, dir) => cachedPipelineQuery(s, dir, "evalrecall") {
+      import s.implicits._
+      val rows = EvalSet.testsetMicro
+      val (dims, prepared, _) = cachedDims(s)
+      val render = udf((t: String, l: String) => HtmlText.render(t, l))
+      val pages = rows.map(r => (s"https://xdd.ref/${r.paperId}", r.paragraph))
+        .toDF("url", "text")
+        .withColumn("warc_ts", timestamp_seconds(lit(1704067200L)))
+        .withColumn("lang", lit("en"))
+        .withColumn("html", render(col("text"), col("lang")))
+        .select("url", "warc_ts", "html", "text", "lang")
+      val client = new Inference.HeuristicClient(
+        rows.map(_.formationName).toArray, Array("the", "of"), Array())
+      val evalAlias = rows.map(_.formationName).toDF("canonical")
+        .select(Linker.normName(col("canonical")).as("alias_norm"),
+          col("canonical"), lit(Model.ObjKind.Strat).as("kind"))
+      val res = KgPipeline.run(s, pages, dims, client,
+        KgPipeline.Config(numPartitions = 4, canonicalize = false,
+          promptDicts = Some(Seq()), prebuiltAlias = Some(evalAlias),
+          preparedDims = Some(prepared)))
+      val found = res.triples
+        .filter(col("obj_kind") === Model.ObjKind.Strat)
+        .select(col("url").as("f_url"), col("obj_name"), col("obj_linked"))
+        .distinct()
+      val out = rows.map(r => (r.formationName, s"https://xdd.ref/${r.paperId}"))
+        .toDF("formation_name", "e_url")
+        .join(found, col("e_url") === col("f_url") &&
+          col("formation_name") === col("obj_name"), "left")
+        .select(col("formation_name"), col("f_url").isNotNull.as("found"),
+          coalesce(col("obj_linked"), lit(false)).as("linked"))
+        .localCheckpoint(true)
+      res.cleanup()
+      out
+    }},
+
     // CC canonicalization: cluster surface variants, canonical = lexical min
     // of the cluster. Spark runs the real iterative connected-components;
     // the oracle computes the same clusters via the normalized key (exactly
@@ -1153,6 +1207,45 @@ object KgQueries {
          UNION ALL SELECT 'parse', total - inf, total - inf - par, par FROM n
          UNION ALL SELECT 'triples', NULL::BIGINT, total - inf - par, 0::BIGINT FROM n
          UNION ALL SELECT 'failed_urls', NULL::BIGINT, inf + par, 0::BIGINT FROM n""",
+    // hand-derived from the extractor's specified matching rule (whole-word
+    // ASCII-boundary, case-sensitive) applied to the transcribed reference
+    // eval paragraphs — see the query comment; the 3 false rows are the
+    // artifact's own case mismatches ("Unicoi/Ravenscrag formation"
+    // lowercase in text, "McLeary" vs the artifact's "Mcleary"), i.e. the
+    // deterministic extractor's achievable bound: recall 27/30
+    "kg_eval_recall" ->
+      """SELECT * FROM (VALUES
+           ('Spiral Creek Formation', true, true),
+           ('Seymour Canal Formation', true, true),
+           ('Serra da Boa Vista Formation', true, true),
+           ('Otaraoa Formation', true, true),
+           ('Marjum Formation', true, true),
+           ('Leatham Formation', true, true),
+           ('Murdock Mountain Formation', true, true),
+           ('German Rancho Formation', true, true),
+           ('Unicoi Formation', false, false),
+           ('Coyote Butte Formation', true, true),
+           ('Hattiesburg Formation', true, true),
+           ('Martinsville Formation', true, true),
+           ('Rush Springs Formation', true, true),
+           ('Pedawan Formation', true, true),
+           ('Clifty Formation', true, true),
+           ('Eagle Ford Formation', true, true),
+           ('Ravenscrag Formation', false, false),
+           ('Smalls Falls Formation', true, true),
+           ('Au Train Formation', true, true),
+           ('Sepur Formation', true, true),
+           ('Itaim Formation', true, true),
+           ('Sierra Buttes Formation', true, true),
+           ('Guanajibo Formation', true, true),
+           ('Spearfish Formation', true, true),
+           ('Mcleary Formation', false, false),
+           ('Tiangua Formation', true, true),
+           ('Swope Formation', true, true),
+           ('Huizachal Formation', true, true),
+           ('Mitu Formation', true, true),
+           ('Parachucla Formation', true, true)
+         ) t(formation_name, found, linked)""",
     "kg_lith_hydrate" -> {
       val lithValues = kg.Dims.pinnedLith
         .map(r => s"('${r.lith}', ${r.lith_id}, '${r.lith_type}', '${r.lith_class}')")
