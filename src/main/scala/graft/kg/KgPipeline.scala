@@ -377,12 +377,23 @@ object KgPipeline {
                            client: Inference.InferenceClient, tableDir: String,
                            cfg: Config = Config()): Int = {
     import graft.sources.SnapshotStore
-    val done = SnapshotStore.read(spark, tableDir, "done")
+    // Done-set read: in bucket-sharded mode the store's url_bucket=N/
+    // staging layout lets the MANIFEST prune the file list to the shard's
+    // buckets before any IO — the snapshot-store counterpart of the parquet
+    // checkpoint's PartitionFilters scan. Files from pre-partitioning
+    // snapshots carry no path marker and are kept (then row-filtered below);
+    // pruning is the IO saver, the bucketFilter row predicate remains the
+    // correctness filter either way.
+    val done = cfg.buckets match {
+      case Some(bs) =>
+        val markers = bs.map(b => s"url_bucket=$b/")
+        SnapshotStore.readPruned(spark, tableDir, "done",
+          f => !f.contains("url_bucket=") || markers.exists(f.contains))
+      case None => SnapshotStore.read(spark, tableDir, "done")
+    }
     val scoped = bucketFilter(pages, cfg)
     val todo = done match {
       case Some(d) =>
-        // bucket-sharded mode narrows the done side by recomputed bucket
-        // (the snapshot store has no partition transform to prune by)
         scoped.join(
           doneSide(bucketFilter(d.select("url"), cfg), cfg), Seq("url"), "left_anti")
       case None => scoped
@@ -392,12 +403,17 @@ object KgPipeline {
       .withColumn("url_bucket", urlBucket(col("url")))
     // failed-url exclusion: same re-drivable semantics as runAndCommit —
     // the snapshot's done table never claims a page whose infer/parse
-    // failed this run.
+    // failed this run. Both url-keyed tables stage url_bucket-partitioned,
+    // so every later sharded run (and url point lookup) prunes at the
+    // manifest.
     val snap = SnapshotStore.commit(spark, tableDir, Map(
       "triples" -> triples,
       "lineage" -> res.lineage,
       "done" -> todo.select("url")
-        .join(doneSide(res.failedUrls, cfg), Seq("url"), "left_anti")))
+        .join(doneSide(res.failedUrls, cfg), Seq("url"), "left_anti")
+        .withColumn("url_bucket", urlBucket(col("url")))),
+      partitionBy = Map("triples" -> Seq("url_bucket"),
+        "done" -> Seq("url_bucket")))
     res.cleanup()
     snap
   }

@@ -67,13 +67,56 @@ object SnapshotStore {
     if (files.isEmpty) None else Some(spark.read.parquet(files: _*))
   }
 
+  /** Read a logical table keeping only data files whose PATH passes
+    * `keepFile` — the manifest-level partition pruning a store written with
+    * `commit(partitionBy = ...)` supports: staged files live under
+    * Hive-style `col=value/` subdirectories, the manifest records the full
+    * leaf paths, and a reader that can decide relevance from the path alone
+    * (e.g. `url_bucket=7/`) skips the other files' IO entirely — the same
+    * manifest-driven file skipping an Iceberg partition transform gives.
+    * Callers MUST keep files whose path carries no partition marker (a
+    * pre-partitioning append has no `col=value/` segment and may hold any
+    * rows) and re-filter rows after the read — pruning is an IO
+    * optimization, never the correctness filter. Returns None when no file
+    * survives (then there are no matching rows at all). */
+  def readPruned(spark: SparkSession, dir: String, table: String,
+                 keepFile: String => Boolean,
+                 version: Option[Int] = None): Option[DataFrame] = {
+    val v = version.getOrElse(currentVersion(spark, dir))
+    if (v == 0) return None
+    val files = readSnapshot(spark, dir, v).tables.getOrElse(table, Nil)
+      .filter(keepFile)
+    if (files.isEmpty) None else Some(spark.read.parquet(files: _*))
+  }
+
+  /** Number of data files the head manifest lists for `table` whose path
+    * passes `keepFile` (all files by default) — the observable a pruning
+    * test asserts on. */
+  def fileCount(spark: SparkSession, dir: String, table: String,
+                keepFile: String => Boolean = _ => true): Int = {
+    val v = currentVersion(spark, dir)
+    if (v == 0) 0
+    else readSnapshot(spark, dir, v).tables.getOrElse(table, Nil)
+      .count(keepFile)
+  }
+
   /** Atomically commit new data for several logical tables (append
     * semantics: new files are added to each table's prior file list).
-    * Returns the committed version. Retries on publish conflict. */
+    * Returns the committed version. Retries on publish conflict.
+    *
+    * `partitionBy` (table → partition columns): stage that table's files
+    * Hive-partitioned (`col=value/` subdirectories). The manifest records
+    * the leaf paths, so [[readPruned]] can skip whole partitions from the
+    * path alone — the parquet stand-in for an Iceberg partition transform
+    * on the store's tables. Mixing partitioned appends into a table with
+    * older flat files is fine: the manifest is just a file list, and
+    * pruning readers keep unmarked paths. */
   def commit(spark: SparkSession, dir: String,
              tables: Map[String, DataFrame], maxRetries: Int = 10,
-             meta: Map[String, String] = Map.empty): Int =
-    commitInternal(spark, dir, tables, maxRetries, meta, replace = false)
+             meta: Map[String, String] = Map.empty,
+             partitionBy: Map[String, Seq[String]] = Map.empty): Int =
+    commitInternal(spark, dir, tables, maxRetries, meta,
+      replaceTables = Set.empty, partitionBy)
 
   /** Replace-mode commit (compaction/rewrite): the new files BECOME the
     * named tables' full content; untouched tables carry over. Readers on
@@ -88,12 +131,34 @@ object SnapshotStore {
     * append's fresh batch_id is never clobbered by a stale copy. */
   def commitReplace(spark: SparkSession, dir: String,
                     tables: Map[String, DataFrame], maxRetries: Int = 10,
-                    meta: Map[String, String] = Map.empty): Int =
-    commitInternal(spark, dir, tables, maxRetries, meta, replace = true)
+                    meta: Map[String, String] = Map.empty,
+                    partitionBy: Map[String, Seq[String]] = Map.empty): Int =
+    commitInternal(spark, dir, tables, maxRetries, meta,
+      replaceTables = tables.keySet, partitionBy)
+
+  /** Mixed-mode commit: `append` tables add files to their prior list,
+    * `replace` tables' new files become their full content — all in ONE
+    * atomic snapshot. The shape a log-compacting job needs (e.g. the
+    * streaming failure re-drive: healed triples APPEND while the shrunk
+    * failure log REPLACES its accumulated rows — committing them separately
+    * would open a window where a crash leaves triples without the log
+    * update, exactly the torn state the snapshot store exists to prevent).
+    * A table named in both maps is an error. */
+  def commitMixed(spark: SparkSession, dir: String,
+                  append: Map[String, DataFrame],
+                  replace: Map[String, DataFrame], maxRetries: Int = 10,
+                  meta: Map[String, String] = Map.empty,
+                  partitionBy: Map[String, Seq[String]] = Map.empty): Int = {
+    val both = append.keySet.intersect(replace.keySet)
+    require(both.isEmpty, s"tables in both append and replace: $both")
+    commitInternal(spark, dir, append ++ replace, maxRetries, meta,
+      replaceTables = replace.keySet, partitionBy)
+  }
 
   private def commitInternal(spark: SparkSession, dir: String,
              tables: Map[String, DataFrame], maxRetries: Int,
-             meta: Map[String, String], replace: Boolean): Int = {
+             meta: Map[String, String], replaceTables: Set[String],
+             partitionBy: Map[String, Seq[String]] = Map.empty): Int = {
     val f = fs(spark, dir)
     var attempt = 0
     while (attempt < maxRetries) {
@@ -108,17 +173,29 @@ object SnapshotStore {
       val token = s"${ProcessHandle.current().pid()}-${Thread.currentThread().getId}-$attempt"
       val staged: Map[String, Seq[String]] = tables.map { case (name, df) =>
         val stageDir = s"$dir/stage/v$v-$token/$name"
-        df.write.mode("overwrite").parquet(stageDir)
-        val files = f.listStatus(new Path(stageDir))
-          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-          .map(_.getPath.toString).toSeq.sorted
-        name -> files
+        val writer = partitionBy.get(name) match {
+          case Some(cols) if cols.nonEmpty => df.write.partitionBy(cols: _*)
+          case _ => df.write
+        }
+        writer.mode("overwrite").parquet(stageDir)
+        // partitioned stages nest files under col=value/ subdirectories —
+        // list recursively so the manifest records every leaf
+        val it = f.listFiles(new Path(stageDir), true)
+        val files = scala.collection.mutable.ArrayBuffer.empty[String]
+        while (it.hasNext) {
+          val s = it.next()
+          if (s.isFile && s.getPath.getName.endsWith(".parquet"))
+            files += s.getPath.toString
+        }
+        name -> files.toSeq.sorted
       }
       val prevSnap: Option[Snapshot] =
         if (base == 0) None else Some(readSnapshot(spark, dir, base))
       val prev: Map[String, Seq[String]] = prevSnap.map(_.tables).getOrElse(Map.empty)
       val merged = (prev.keySet ++ staged.keySet).map { t =>
-        val carried = if (replace && staged.contains(t)) Nil else prev.getOrElse(t, Nil)
+        val carried =
+          if (replaceTables.contains(t) && staged.contains(t)) Nil
+          else prev.getOrElse(t, Nil)
         t -> (carried ++ staged.getOrElse(t, Nil))
       }.toMap
       // meta: prior snapshot's meta carries forward, new keys win — in BOTH

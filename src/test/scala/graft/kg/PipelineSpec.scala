@@ -510,6 +510,48 @@ class KgPipelineSpec extends SparkSpec {
     assert(spark.read.parquet(s"$outShard/triples").count() === n1)
   }
 
+  test("snapshot-store sharded resume: manifest prunes done files to the shard; union parity") {
+    import graft.sources.SnapshotStore
+    val full = java.nio.file.Files.createTempDirectory("snapfull").toString
+    val shard = java.nio.file.Files.createTempDirectory("snapshard").toString
+    val pages = Pages.fixtures(spark)
+    KgPipeline.runAndCommitSnapshot(spark, pages, dims, client, full,
+      KgPipeline.Config(numPartitions = 2, canonicalize = false))
+    KgPipeline.runAndCommitSnapshot(spark, pages, dims, client, shard,
+      KgPipeline.Config(numPartitions = 2, canonicalize = false,
+        buckets = Some(0 until 32)))
+    KgPipeline.runAndCommitSnapshot(spark, pages, dims, client, shard,
+      KgPipeline.Config(numPartitions = 2, canonicalize = false,
+        buckets = Some(32 until 64)))
+    // union-of-shards parity against the unsharded atomic-commit run
+    def t(dir: String) = SnapshotStore.read(spark, dir, "triples").get
+      .select("url", "subj_name", "predicate", "obj_name", "obj_final")
+      .collect().map(_.toSeq).toSet
+    assert(t(shard) === t(full))
+    def doneUrls(dir: String) = SnapshotStore.read(spark, dir, "done").get
+      .select("url").collect().map(_.getString(0)).toSet
+    assert(doneUrls(shard) === doneUrls(full))
+    // the done table staged url_bucket-partitioned, so the MANIFEST itself
+    // prunes a sharded read's file list — the store-level counterpart of
+    // the parquet checkpoint's PartitionFilters evidence: the shard's
+    // marker set keeps a strict, non-empty subset of the files
+    val totalFiles = SnapshotStore.fileCount(spark, shard, "done")
+    val markers = (0 until 32).map(b => s"url_bucket=$b/")
+    val prunedFiles = SnapshotStore.fileCount(spark, shard, "done",
+      f => markers.exists(f.contains))
+    assert(totalFiles > 0)
+    assert(SnapshotStore.fileCount(spark, shard, "done",
+      _.contains("url_bucket=")) === totalFiles) // every file is partitioned
+    assert(prunedFiles > 0 && prunedFiles < totalFiles)
+    // re-running a shard against the pruned done read is incremental: the
+    // new snapshot appends no triples
+    val before = SnapshotStore.read(spark, shard, "triples").get.count()
+    KgPipeline.runAndCommitSnapshot(spark, pages, dims, client, shard,
+      KgPipeline.Config(numPartitions = 2, canonicalize = false,
+        buckets = Some(0 until 32)))
+    assert(SnapshotStore.read(spark, shard, "triples").get.count() === before)
+  }
+
   test("tier-2 fuzzy alignment: misspelled unit links + hydrates; off by default") {
     val text = "The Waldron Shael is exposed near Minnesota."
     val page = Seq(("https://t/fuzzy",
