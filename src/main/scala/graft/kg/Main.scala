@@ -13,6 +13,11 @@ import org.apache.spark.sql.functions._
   *
   * Maintenance modes (snapshot stores; run instead of a pipeline pass):
   *     --out <dir> --compact            global CC canonicalization rewrite
+  *     --out <dir> --compact-dedup <minJaccard> --pages <src>
+  *                                      global cross-shard dedup rewrite
+  *                                      (corpus from --pages)
+  *     --out <dir> --redrive --pages <src>
+  *                                      re-drive the streaming failure log
   *     --out <dir> --expire <keepLast>  retention sweep + orphan cleanup
   *
   * Reruns with the same --out resume incrementally (left-anti join against
@@ -60,6 +65,40 @@ object Main {
         dims = Some(Dims.snapshot(spark)))
       println(v.map(v => s"[graft] compacted to snapshot v$v at $outDir")
         .getOrElse(s"[graft] nothing to compact at $outDir"))
+      spark.stop(); return
+    }
+    if (opts.contains("compact-dedup")) {
+      val corpus =
+        (if (pagesSrc.startsWith("synthetic:"))
+          Pages.all(spark, pagesSrc.stripPrefix("synthetic:"))
+        else spark.read.parquet(pagesSrc))
+      // competition must run over the FULL corpus the sharded runs consumed
+      // (compactDedup scaladoc) — extract text when the source carries html
+      val docs =
+        if (corpus.columns.contains("text")) corpus.select("url", "text")
+        else corpus.select(col("url"),
+          udf((h: Array[Byte]) => HtmlText.extract(h)).apply(col("html")).as("text"))
+      val v = graft.streaming.StreamingKg.compactDedup(spark, outDir, docs,
+        minJaccard = opts("compact-dedup").toDouble,
+        localProbe = !opts.contains("open-vocabulary"))
+      println(v.map(v => s"[graft] dedup-compacted to snapshot v$v at $outDir")
+        .getOrElse(s"[graft] nothing to compact at $outDir"))
+      spark.stop(); return
+    }
+    if (opts.contains("redrive")) {
+      val corpus =
+        if (pagesSrc.startsWith("synthetic:"))
+          Pages.all(spark, pagesSrc.stripPrefix("synthetic:"))
+        else spark.read.parquet(pagesSrc)
+      val dims = Dims.snapshot(spark)
+      val client = Inference.defaultClient(
+        dims.stratDim.select("strat_name").collect().map(_.getString(0)),
+        dims.gazetteerDim.select("name").collect().map(_.getString(0)),
+        dims.mineralDim.select("mineral").collect().map(_.getString(0)))
+      val v = graft.streaming.StreamingKg.redriveFailed(
+        spark, outDir, corpus, dims, client)
+      println(v.map(v => s"[graft] re-drive committed snapshot v$v at $outDir")
+        .getOrElse(s"[graft] no failure log to re-drive at $outDir"))
       spark.stop(); return
     }
     if (opts.contains("expire")) {
@@ -122,6 +161,8 @@ object Main {
       case "--dedup" :: v :: rest => parse(rest, acc + ("dedup" -> v))
       case "--open-vocabulary" :: rest => parse(rest, acc + ("open-vocabulary" -> "1"))
       case "--compact" :: rest => parse(rest, acc + ("compact" -> "1"))
+      case "--compact-dedup" :: v :: rest => parse(rest, acc + ("compact-dedup" -> v))
+      case "--redrive" :: rest => parse(rest, acc + ("redrive" -> "1"))
       case "--expire" :: v :: rest => parse(rest, acc + ("expire" -> v))
       case "--grace-ms" :: v :: rest => parse(rest, acc + ("grace-ms" -> v))
       case "--buckets" :: v :: rest => parse(rest, acc + ("buckets" -> v))

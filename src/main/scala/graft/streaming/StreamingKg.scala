@@ -252,6 +252,77 @@ object StreamingKg {
     })
   }
 
+  /** Re-drive job for the streaming failure log — the consumer
+    * [[snapshotSinkWithFailures]]'s `failed` table was missing: the BATCH
+    * path re-drives failed urls automatically (they are excluded from the
+    * done set, so the next run's resume anti-join picks them up), while a
+    * streaming deployment's checkpoint never re-offers a processed page.
+    * This job closes the loop, mirroring the reference's "re-run the same
+    * job over the NA rows" semantics
+    * (chtc/preprocess_extraction_direct.py:99-110):
+    *
+    *  1. read the accumulated `failed` log and drop every url that already
+    *     has triples in the store (healed by an earlier re-drive or a
+    *     later append) — those clear from the log unconditionally;
+    *  2. re-run the batch pipeline (`canonicalize = false` + the same
+    *     alignment tiers as the sink — identical per-page semantics to a
+    *     micro-batch) over the remaining urls' pages from `pages`;
+    *  3. commit healed pages' triples (APPEND) and the rewritten failure
+    *     log (REPLACE: fresh failure rows for pages that failed again,
+    *     carried rows for target urls absent from `pages`) in ONE atomic
+    *     snapshot — a crash leaves the store at the prior version, and
+    *     re-running converges (exactly-once via determinism, like every
+    *     commit in this store).
+    *
+    * Returns the committed version; None when the store has no failure
+    * log (absent table, or already emptied by a prior re-drive — the job
+    * is a read-only no-op then, committing nothing). A fully healed run
+    * leaves the `failed` table with ZERO rows. */
+  def redriveFailed(spark: SparkSession, dir: String, pages: DataFrame,
+                    dims: Dims.Snapshot, client: Inference.InferenceClient,
+                    jobStart: java.sql.Timestamp =
+                      java.sql.Timestamp.valueOf("2024-06-01 00:00:00"),
+                    fuzzyMinJaccard: Option[Double] = None,
+                    fuzzyStopGramMaxDf: Option[Int] = None,
+                    cosineMinSim: Option[Double] = None,
+                    cosineLshPrune: Option[(Int, Int)] = None): Option[Int] = {
+    import graft.sources.SnapshotStore
+    SnapshotStore.read(spark, dir, "failed")
+      .filterNot(_.isEmpty).map { failed =>
+      val triplesUrls = SnapshotStore.read(spark, dir, "triples")
+        .map(_.select("url").distinct())
+      val target0 = failed.select("url").distinct()
+      val target = triplesUrls
+        .map(t => target0.join(t, Seq("url"), "left_anti"))
+        .getOrElse(target0)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // pages to re-run: target urls the corpus still has. Target urls the
+      // corpus LOST keep their old log rows — clearing them silently would
+      // erase the only record that extraction never succeeded.
+      val redrive = pages.join(broadcast(target), Seq("url"), "left_semi")
+      val res = KgPipeline.run(spark, redrive, dims, client,
+        KgPipeline.Config(canonicalize = false, jobStart = jobStart,
+          fuzzyAlignMinJaccard = fuzzyMinJaccard,
+          fuzzyStopGramMaxDf = fuzzyStopGramMaxDf,
+          cosineAlignMinSim = cosineMinSim,
+          cosineAlignLshPrune = cosineLshPrune))
+      val stillMissing = target
+        .join(pages.select("url").distinct(), Seq("url"), "left_anti")
+      val carried = failed
+        .join(stillMissing, Seq("url"), "left_semi")
+        .groupBy("url").agg(min("failed_stage").as("failed_stage"))
+      val newLog = res.failedUrls.unionByName(carried)
+      val healedTriples = res.triples.select(KgPipeline.TripleColumns.map(col): _*)
+      val v = SnapshotStore.commitMixed(spark, dir,
+        append = Map("triples" -> healedTriples),
+        replace = Map("failed" -> newLog),
+        meta = Map("compaction" -> "redrive"))
+      res.cleanup()
+      target.unpersist(blocking = false)
+      v
+    }
+  }
+
   /** Periodic batch compaction — the cross-batch step the incremental
     * stream cannot do: global connected-components canonicalization over
     * the ACCUMULATED triples table, so surface variants that arrived in
@@ -306,6 +377,90 @@ object StreamingKg {
       SnapshotStore.commitReplace(spark, dir,
         Map("triples" -> compacted),
         meta = Map("compaction" -> "canonicalize"))
+    }
+  }
+
+  /** Cross-shard/cross-batch dedup compaction — the global counterpart of
+    * the per-run `Config.dedupMinJaccard` gate, closing the documented
+    * within-shard-only scope of bucket-sharded operation
+    * (KgPipeline.Config.buckets): near-dup page clusters that SPAN shards
+    * (or micro-batches) are never collapsed by the per-run gate, so their
+    * triples accumulate in the store. This pass runs the identical dedup
+    * kernel (MinHash-LSH candidates → candidate-restricted Jaccard → CC,
+    * graft.ops.Dedup.dedupe, winner = cluster-min doc_id = xxhash64(url))
+    * GLOBALLY and drops losers' triples, committing the rewritten table
+    * and a `compact_dedup` lineage row in ONE atomic snapshot (replace
+    * triples + append lineage — commitMixed). The reference's analog is
+    * its frozen global id list, the one corpus-global artifact its batch
+    * jobs share (chtc/preprocess_extraction_direct.py:19-28).
+    *
+    * `corpus` must be the SAME (url, text) universe the sharded runs
+    * consumed — competition runs over the FULL corpus, not just store
+    * members, because a duplicate chain can connect two stored winners
+    * only THROUGH a page some shard already dropped (A~X~B with
+    * J(A,B) < t): restricted to the store the chain is invisible and both
+    * survive, while the unsharded gate collapses it. With the full corpus
+    * the kept set provably equals the unsharded run's: every shard winner
+    * is its shard-subcluster's min, so the global cluster min is always a
+    * stored row, and everything else drops (parity-tested).
+    *
+    * Done/failed tables are untouched: dropped urls WERE processed — they
+    * must not be re-driven, they are duplicates. Returns the committed
+    * version, None when the store has no triples. */
+  def compactDedup(spark: SparkSession, dir: String, corpus: DataFrame,
+                   minJaccard: Double, localProbe: Boolean = true,
+                   jobStart: java.sql.Timestamp =
+                     java.sql.Timestamp.valueOf("2024-06-01 00:00:00")): Option[Int] = {
+    import graft.sources.SnapshotStore
+    SnapshotStore.read(spark, dir, "triples").map { triples =>
+      val docs = corpus.select(col("url"), col("text"))
+        .withColumn("doc_id", xxhash64(col("url")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val losers = graft.ops.Dedup
+        .dedupe(docs.select("doc_id", "text"), minJaccard, localProbe)
+        .filter(!col("keep")).select(col("doc_id").as("drop_id"))
+      // loser urls are duplicate-cluster members only — tiny next to the
+      // corpus, so the rewrite anti-join broadcasts under AQE
+      val loserUrls = docs.join(losers, docs("doc_id") === losers("drop_id"))
+        .select("url")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val kept = triples.join(loserUrls, Seq("url"), "left_anti")
+      // preserve (or establish) the url_bucket staging layout so manifest
+      // pruning keeps working after the rewrite; a legacy store whose files
+      // carry url_bucket as a DATA column keeps its schema untouched
+      val (keptStaged, keptParts) =
+        if (kept.columns.contains("url_bucket"))
+          (kept, Map.empty[String, Seq[String]])
+        else (kept.withColumn("url_bucket", KgPipeline.urlBucket(col("url"))),
+          Map("triples" -> Seq("url_bucket")))
+      val inRows = triples.count()
+      val dropRows = triples.join(loserUrls, Seq("url"), "left_semi").count()
+      // meta counts are STORE-level: urls whose triples this compaction
+      // dropped (corpus losers with no stored triples — e.g. pages a
+      // shard's own gate already dropped — don't inflate the number)
+      val droppedUrls = triples.join(loserUrls, Seq("url"), "left_semi")
+        .select("url").distinct().count()
+      val lineageRow = {
+        import spark.implicits._
+        Seq(("compact_dedup", null.asInstanceOf[java.lang.Long],
+          inRows, inRows - dropRows, dropRows))
+          .toDF("stage", "partition_id", "input_rows", "output_rows",
+            "failed_rows")
+          // match the pipeline lineage schema exactly (partition_id is the
+          // int spark_partition_id(); a global pass has none)
+          .withColumn("partition_id", col("partition_id").cast("int"))
+          .withColumn("job_start", lit(jobStart))
+      }
+      val v = SnapshotStore.commitMixed(spark, dir,
+        append = Map("lineage" -> lineageRow),
+        replace = Map("triples" -> keptStaged),
+        meta = Map("compaction" -> "dedup",
+          "dedup_dropped_urls" -> droppedUrls.toString,
+          "dedup_dropped_triples" -> dropRows.toString),
+        partitionBy = keptParts)
+      docs.unpersist(blocking = false)
+      loserUrls.unpersist(blocking = false)
+      v
     }
   }
 

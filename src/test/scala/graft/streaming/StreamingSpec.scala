@@ -136,6 +136,61 @@ class StreamingSpec extends SparkSpec {
     assert(SnapshotStore.currentVersion(spark, storeDir) === v)
   }
 
+  test("failed-url re-drive: healed transport converges the store and empties the log") {
+    import graft.sources.SnapshotStore
+    val pagesDir = java.nio.file.Files.createTempDirectory("redrivesrc").toString
+    val storeDir = java.nio.file.Files.createTempDirectory("redrivesink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("redriveckpt").toString
+    def page(u: String, t: String) =
+      (u, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+        HtmlText.render(t, "en"), t, "en")
+    val pagesDf = Seq(
+      page("https://t/ok", "Shakopee Formation in Minnesota."),
+      page("https://t/fail-infer", "Text one."),
+      page("https://t/fail-parse", "Text two."))
+      .toDF("url", "warc_ts", "html", "text", "lang")
+    pagesDf.write.mode("overwrite").parquet(pagesDir)
+    // 1. stream with a DOWN transport: 2 pages land in the failure log
+    graft.kg.HealToggle.healed = false
+    val raw = StreamingKg.rawParsedStream(
+      StreamingKg.pagesStream(spark, pagesDir), dims,
+      new graft.kg.HealToggle.HealingClient)
+    val sink = StreamingKg.snapshotSinkWithFailures(raw, storeDir, dims)
+    try {
+      val q = sink.writer.option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(60000))
+    } finally sink.release()
+    assert(SnapshotStore.read(spark, storeDir, "failed").get.count() === 2L)
+    // 2. transport heals; first re-drive sees a corpus MISSING one failed
+    //    page — that url's log row is carried, the other heals
+    graft.kg.HealToggle.healed = true
+    val partial = spark.read.parquet(pagesDir)
+      .filter(col("url") =!= "https://t/fail-parse")
+    val v1 = StreamingKg.redriveFailed(spark, storeDir, partial, dims,
+      new graft.kg.HealToggle.HealingClient)
+    assert(v1.nonEmpty)
+    val logAfter1 = SnapshotStore.read(spark, storeDir, "failed").get
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(logAfter1 === Map("https://t/fail-parse" -> "parse"))
+    // 3. second re-drive with the full corpus: the store CONVERGES to the
+    //    all-healthy run's triples and the failure log is EMPTY
+    val v2 = StreamingKg.redriveFailed(spark, storeDir,
+      spark.read.parquet(pagesDir), dims, new graft.kg.HealToggle.HealingClient)
+    assert(v2.nonEmpty)
+    val healthy = KgPipeline.run(spark, spark.read.parquet(pagesDir), dims,
+      new graft.kg.HealToggle.HealingClient,
+      KgPipeline.Config(numPartitions = 2, canonicalize = false)).triples
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(KgPipeline.TripleColumns.map(col): _*).collect().map(_.toSeq).toSet
+    assert(rows(SnapshotStore.read(spark, storeDir, "triples").get) === rows(healthy))
+    assert(SnapshotStore.read(spark, storeDir, "failed").forall(_.count() === 0L))
+    // 4. with an empty log the job is a no-op (None — nothing to re-drive)
+    assert(StreamingKg.redriveFailed(spark, storeDir,
+      spark.read.parquet(pagesDir), dims,
+      new graft.kg.HealToggle.HealingClient).isEmpty)
+  }
+
   test("streaming alignment tiers: micro-batch fuzzy+cosine equal the batch pipeline") {
     import graft.sources.SnapshotStore
     val pagesDir = java.nio.file.Files.createTempDirectory("tiersrc").toString
@@ -215,6 +270,84 @@ class StreamingSpec extends SparkSpec {
     val old = SnapshotStore.read(spark, dir, "triples", Some(2)).get
     assert(old.count() === 2)
     assert(old.filter(col("obj_canonical") === "foo formation.").count() === 1)
+  }
+
+  test("cross-shard dedup compaction: sharded runs + compactDedup equal one dedup-gated run") {
+    import graft.sources.SnapshotStore
+    // Near-dup CHAIN A ~ X ~ B (adjacent Jaccard 0.6 ≥ 0.5; J(A,B) = 1/3 —
+    // connected only through the bridge X) + unique C. Filler words were
+    // chosen so both adjacent pairs share a MinHash band deterministically
+    // (md5-seeded signatures, so candidate generation is reproducible).
+    val tA = "Shakopee Formation is found in Minnesota cobalt dolomite halite quebec basalt sierra"
+    val tX = "Shakopee Formation is found in Minnesota quebec basalt sierra golf foxtrot zulu"
+    val tB = "Shakopee Formation is found in Minnesota golf foxtrot zulu emerald papa uniform"
+    val tC = "Powell Dolomite underlies the river bluffs near Minnesota today entirely"
+    // Role assignment at runtime from the deterministic hashes: A = global
+    // min doc_id (the cluster winner everywhere), X = the bridge sharing
+    // A's shard (and LOSING its within-shard dedup: doc_id(X) > doc_id(A)),
+    // B in a DIFFERENT shard — so the sharded gates never see the A~X~B
+    // chain whole, and only through the bridge X (already dropped in shard
+    // 1) does the global pass know B duplicates A.
+    val pool = (0 until 24).map(i => s"https://t/compact/$i")
+    val info = pool.map { u =>
+      val r = Seq(u).toDF("u")
+        .select(KgPipeline.urlBucket(col("u")), xxhash64(col("u")))
+        .collect().head
+      (u, r.getLong(0), r.getLong(1))
+    }.sortBy(_._3)
+    val (uA, bA, _) = info(0)
+    val (uX, bX, _) = info(1)
+    val (uB, _, _) = info.drop(2).find(t => t._2 != bA && t._2 != bX).get
+    val uC = info.drop(2).find(t => t._1 != uB).get._1
+    val shard1 = Seq(bA, bX).distinct.map(_.toInt)
+    val shard2 = (0 until 64).filterNot(shard1.contains)
+    def page(u: String, t: String) =
+      (u, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+        HtmlText.render(t, "en"), t, "en")
+    val pages = Seq(page(uA, tA), page(uX, tX), page(uB, tB), page(uC, tC))
+      .toDF("url", "warc_ts", "html", "text", "lang")
+    val full = java.nio.file.Files.createTempDirectory("dedupfull").toString
+    val shard = java.nio.file.Files.createTempDirectory("dedupshard").toString
+    val cfg = KgPipeline.Config(numPartitions = 2, canonicalize = false,
+      dedupMinJaccard = Some(0.5))
+    KgPipeline.runAndCommitSnapshot(spark, pages, dims, client, full, cfg)
+    KgPipeline.runAndCommitSnapshot(spark, pages, dims, client, shard,
+      cfg.copy(buckets = Some(shard1)))
+    KgPipeline.runAndCommitSnapshot(spark, pages, dims, client, shard,
+      cfg.copy(buckets = Some(shard2)))
+    def urls(dir: String) = SnapshotStore.read(spark, dir, "triples").get
+      .select("url").distinct().collect().map(_.getString(0)).toSet
+    // the documented gap is REAL pre-compaction: B survives its shard (its
+    // duplicate cluster spans shards), while the unsharded gate dropped it
+    assert(urls(full) === Set(uA, uC))
+    assert(urls(shard) === Set(uA, uB, uC))
+    // global compaction over the SAME corpus closes it
+    val v = StreamingKg.compactDedup(spark, shard,
+      pages.select("url", "text"), minJaccard = 0.5)
+    assert(v.nonEmpty)
+    def rows(dir: String) = SnapshotStore.read(spark, dir, "triples").get
+      .select("url", "subj_name", "predicate", "obj_name", "obj_final")
+      .collect().map(_.toSeq).toSet
+    assert(rows(shard) === rows(full))
+    // meta + lineage record the drop
+    val snap = SnapshotStore.readSnapshot(spark, shard, v.get)
+    assert(snap.meta.get("compaction").contains("dedup"))
+    assert(snap.meta.get("dedup_dropped_urls").contains("1"))
+    assert(snap.meta("dedup_dropped_triples").toLong > 0L)
+    val lin = SnapshotStore.read(spark, shard, "lineage").get
+      .filter(col("stage") === "compact_dedup").collect()
+    assert(lin.length === 1)
+    assert(lin.head.getAs[Long]("failed_rows") ===
+      snap.meta("dedup_dropped_triples").toLong)
+    // done is untouched: duplicates were PROCESSED — never re-drive them
+    assert(SnapshotStore.read(spark, shard, "done").get
+      .select("url").distinct().count() === 4L)
+    // idempotent: a second compaction over the same corpus drops nothing
+    val v2 = StreamingKg.compactDedup(spark, shard,
+      pages.select("url", "text"), minJaccard = 0.5)
+    assert(SnapshotStore.readSnapshot(spark, shard, v2.get)
+      .meta("dedup_dropped_triples") === "0")
+    assert(rows(shard) === rows(full))
   }
 
   test("compaction re-hydration preserves each row's original requested_at provenance") {
