@@ -370,13 +370,15 @@ object StreamingKg {
       val compacted = rehydrated
         .withColumn("obj_canonical", col("obj_final"))
         .select(triples.columns.map(col): _*)
+      val (staged, parts) = bucketStaged(compacted)
       // commitReplace carries the prior snapshot's meta forward internally —
       // commitBatch's exactly-once check reads meta.batch_id from the HEAD
       // snapshot, and a compaction that dropped it would reset the watermark
       // to -1 and let a restarted query re-append its replayed micro-batch.
       SnapshotStore.commitReplace(spark, dir,
-        Map("triples" -> compacted),
-        meta = Map("compaction" -> "canonicalize"))
+        Map("triples" -> staged),
+        meta = Map("compaction" -> "canonicalize"),
+        partitionBy = parts)
     }
   }
 
@@ -425,14 +427,7 @@ object StreamingKg {
         .select("url")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val kept = triples.join(loserUrls, Seq("url"), "left_anti")
-      // preserve (or establish) the url_bucket staging layout so manifest
-      // pruning keeps working after the rewrite; a legacy store whose files
-      // carry url_bucket as a DATA column keeps its schema untouched
-      val (keptStaged, keptParts) =
-        if (kept.columns.contains("url_bucket"))
-          (kept, Map.empty[String, Seq[String]])
-        else (kept.withColumn("url_bucket", KgPipeline.urlBucket(col("url"))),
-          Map("triples" -> Seq("url_bucket")))
+      val (keptStaged, keptParts) = bucketStaged(kept)
       val inRows = triples.count()
       val dropRows = triples.join(loserUrls, Seq("url"), "left_semi").count()
       // meta counts are STORE-level: urls whose triples this compaction
@@ -463,6 +458,19 @@ object StreamingKg {
       v
     }
   }
+
+  /** Preserve (or establish) the url_bucket staging layout on a triples
+    * rewrite, so manifest-level pruning ([[graft.sources.SnapshotStore
+    * .readPruned]]) keeps working after a compaction. A legacy store whose
+    * FILES carry url_bucket as a data column keeps its schema untouched
+    * (no partitioning — mixing would drift the read schema); everything
+    * else is staged Hive-partitioned on the recomputed bucket, which the
+    * partitionBy write strips from the file data — reads stay
+    * schema-identical to the streaming sink's TripleColumns. */
+  private def bucketStaged(df: DataFrame): (DataFrame, Map[String, Seq[String]]) =
+    if (df.columns.contains("url_bucket")) (df, Map.empty[String, Seq[String]])
+    else (df.withColumn("url_bucket", KgPipeline.urlBucket(col("url"))),
+      Map("triples" -> Seq("url_bucket")))
 
   /** Cross-micro-batch exactly-once on the EVENT side: duplicate ids
     * arriving within the lateness horizon are dropped with bounded state —

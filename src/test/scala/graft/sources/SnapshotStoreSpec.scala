@@ -27,6 +27,55 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(old === Set(1L, 2L))
   }
 
+  test("partitioned staging: manifest paths prune by partition; mixed flat files kept") {
+    val dir = tmp("snappart")
+    // flat append first (pre-partitioning layout), then a partitioned one
+    SnapshotStore.commit(spark, dir,
+      Map("t" -> Seq((0L, 0L)).toDF("id", "part")))
+    SnapshotStore.commit(spark, dir,
+      Map("t" -> Seq((1L, 1L), (2L, 2L), (3L, 1L)).toDF("id", "part")),
+      partitionBy = Map("t" -> Seq("part")))
+    // manifest lists flat + Hive-style leaves; readPruned keeps unmarked
+    // files plus the wanted partition, so a pruning read sees exactly the
+    // flat rows (unprunable) + the kept partition's rows
+    val total = SnapshotStore.fileCount(spark, dir, "t")
+    val marked = SnapshotStore.fileCount(spark, dir, "t", _.contains("part="))
+    assert(marked > 0 && marked < total)
+    val pruned = SnapshotStore.readPruned(spark, dir, "t",
+      f => !f.contains("part=") || f.contains("part=1/")).get
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(pruned === Set(0L, 1L, 3L))
+    // the partition column is a PATH property, not file data: the full
+    // read returns the data columns the flat file carries (id, part for
+    // the flat file; id for the partitioned leaves — Spark unions on the
+    // first schema, so project the shared column)
+    val all = SnapshotStore.read(spark, dir, "t").get
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(all === Set(0L, 1L, 2L, 3L))
+  }
+
+  test("commitMixed: append and replace land in one atomic snapshot") {
+    val dir = tmp("snapmixed")
+    SnapshotStore.commit(spark, dir, Map(
+      "log" -> Seq(("u1", "infer"), ("u2", "parse")).toDF("url", "stage"),
+      "data" -> Seq((1L, "a")).toDF("id", "v")))
+    val v = SnapshotStore.commitMixed(spark, dir,
+      append = Map("data" -> Seq((2L, "b")).toDF("id", "v")),
+      replace = Map("log" -> Seq(("u2", "parse")).toDF("url", "stage")))
+    assert(v === 2)
+    assert(SnapshotStore.read(spark, dir, "data").get.count() === 2L) // appended
+    assert(SnapshotStore.read(spark, dir, "log").get
+      .collect().map(_.getString(0)).toSet === Set("u2")) // replaced
+    // prior version still shows the pre-rewrite log (time travel)
+    assert(SnapshotStore.read(spark, dir, "log", Some(1)).get.count() === 2L)
+    // a table in both maps is a caller error
+    intercept[IllegalArgumentException] {
+      SnapshotStore.commitMixed(spark, dir,
+        append = Map("log" -> Seq(("x", "y")).toDF("url", "stage")),
+        replace = Map("log" -> Seq(("x", "y")).toDF("url", "stage")))
+    }
+  }
+
   test("snapshot isolation: staged-but-unpublished data is invisible") {
     val dir = tmp("snapiso")
     SnapshotStore.commit(spark, dir, Map("t" -> Seq((1L, "a")).toDF("id", "v")))
