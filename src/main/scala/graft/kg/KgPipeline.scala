@@ -418,6 +418,30 @@ object KgPipeline {
     snap
   }
 
+  /** Small-file compaction for a KG snapshot store (the
+    * `rewrite_data_files` maintenance job): every [[runAndCommitSnapshot]]
+    * run and every streaming micro-batch APPENDS files, so a long-lived
+    * store's manifest file list — and with it scan planning and per-file
+    * open cost — grows without bound even at stable data volume. This
+    * rewrites the store's current content into a compact file set in one
+    * replace-mode snapshot: the url-keyed tables re-establish the
+    * `url_bucket=N/` layout (recomputed from `url` — the file data cannot
+    * carry it, staging strips partition columns) at roughly one file per
+    * bucket, so manifest pruning keeps working; log tables (lineage,
+    * failed) coalesce to a bounded count. Row sets are byte-identical —
+    * pure layout maintenance, schedule-composable; [[graft.sources
+    * .SnapshotStore.expireSnapshots]] reclaims the replaced files. */
+  def compactStoreFiles(spark: SparkSession, tableDir: String): Option[Int] = {
+    def bucketed(df: DataFrame): (DataFrame, Seq[String]) =
+      if (df.columns.contains("url_bucket") || !df.columns.contains("url"))
+        (df.coalesce(8), Seq.empty) // legacy data-column layout: keep schema
+      else (df.withColumn("url_bucket", urlBucket(col("url")))
+        .repartition(UrlBuckets, col("url_bucket")), Seq("url_bucket"))
+    graft.sources.SnapshotStore.rewriteTables(spark, tableDir,
+      Seq("triples", "done", "lineage", "failed"),
+      stage = Map("triples" -> bucketed _, "done" -> bucketed _))
+  }
+
   /** Resume done-set build side: pinned broadcast (default, unbeatable
     * while it fits) or un-hinted for AQE sizing (the page-cardinality
     * scale path — an explicit hint cannot be demoted by AQE). */

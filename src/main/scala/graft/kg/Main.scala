@@ -18,6 +18,8 @@ import org.apache.spark.sql.functions._
   *                                      (corpus from --pages)
   *     --out <dir> --redrive --pages <src>
   *                                      re-drive the streaming failure log
+  *     --out <dir> --rewrite            small-file compaction (file layout
+  *                                      only; re-establishes url_bucket=N/)
   *     --out <dir> --expire <keepLast>  retention sweep + orphan cleanup
   *
   * Reruns with the same --out resume incrementally (left-anti join against
@@ -101,6 +103,12 @@ object Main {
         .getOrElse(s"[graft] no failure log to re-drive at $outDir"))
       spark.stop(); return
     }
+    if (opts.contains("rewrite")) {
+      val v = KgPipeline.compactStoreFiles(spark, outDir)
+      println(v.map(v => s"[graft] rewrote file layout to snapshot v$v at $outDir")
+        .getOrElse(s"[graft] nothing to rewrite at $outDir"))
+      spark.stop(); return
+    }
     if (opts.contains("expire")) {
       val (m, d) = graft.sources.SnapshotStore.expireSnapshots(
         spark, outDir, keepLast = opts("expire").toInt,
@@ -163,6 +171,7 @@ object Main {
       case "--compact" :: rest => parse(rest, acc + ("compact" -> "1"))
       case "--compact-dedup" :: v :: rest => parse(rest, acc + ("compact-dedup" -> v))
       case "--redrive" :: rest => parse(rest, acc + ("redrive" -> "1"))
+      case "--rewrite" :: rest => parse(rest, acc + ("rewrite" -> "1"))
       case "--expire" :: v :: rest => parse(rest, acc + ("expire" -> v))
       case "--grace-ms" :: v :: rest => parse(rest, acc + ("grace-ms" -> v))
       case "--buckets" :: v :: rest => parse(rest, acc + ("buckets" -> v))

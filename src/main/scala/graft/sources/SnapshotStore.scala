@@ -218,6 +218,41 @@ object SnapshotStore {
     throw new IllegalStateException(s"snapshot commit lost $maxRetries races in $dir")
   }
 
+  /** Small-file compaction (the `rewrite_data_files` of the Iceberg
+    * maintenance lifecycle): every commit APPENDS at least one file per
+    * touched table, so a long-lived store — a streaming sink committing
+    * per micro-batch, a 64-shard fleet committing per shard run —
+    * accumulates an unboundedly growing manifest file list, and scan
+    * planning plus per-file open cost grow with it even when the DATA
+    * volume is stable. This rewrites each named table's current content
+    * into a fresh compact file set (optionally re-partitioned, e.g.
+    * `url_bucket` so manifest pruning keeps working) and publishes it as
+    * one replace-mode snapshot. Readers of older versions still see the
+    * old files (time travel); [[expireSnapshots]] reclaims them later.
+    * Pure file-layout maintenance: the row set is byte-identical, so it
+    * composes with any schedule and needs no oracle of its own.
+    * Returns the committed version, None when no named table has data. */
+  def rewriteTables(spark: SparkSession, dir: String, tables: Seq[String],
+                    coalesceTo: Int = 8,
+                    stage: Map[String, DataFrame => (DataFrame, Seq[String])] = Map.empty): Option[Int] = {
+    val present = tables.flatMap(t => read(spark, dir, t).map(t -> _)).toMap
+    if (present.isEmpty) return None
+    // default staging: coalesce to a small bounded file count, no
+    // partitioning. `stage` overrides per table with (staged frame,
+    // partition columns) — the hook a caller uses to re-establish a
+    // partition layout the file data alone cannot express (e.g. a bucket
+    // recomputed from a key column, KgPipeline.compactStoreFiles).
+    val staged = present.map { case (t, df) =>
+      t -> stage.get(t).map(_(df))
+        .getOrElse((df.coalesce(math.max(1, coalesceTo)), Seq.empty[String]))
+    }
+    Some(commitReplace(spark, dir, staged.view.mapValues(_._1).toMap,
+      meta = Map("compaction" -> "rewrite"),
+      partitionBy = staged.collect {
+        case (t, (_, cols)) if cols.nonEmpty => t -> cols
+      }))
+  }
+
   /** Retention sweep (the expire-snapshots + orphan-file maintenance of
     * the Iceberg lifecycle): drop all snapshot manifests older than the
     * newest `keepLast`, then delete every staged data file that no RETAINED

@@ -86,7 +86,12 @@ object StreamingKg {
     // without the cache each batch would re-run the 4-tier strat union +
     // firstHit windows — bootstrap work, not per-batch work. A caller that
     // already holds a prepared snapshot (the gate's cachedDims) passes it
-    // in instead of building a duplicate cached copy.
+    // in instead of building a duplicate cached copy — and OWNS its
+    // lifetime. A long-running caller on the default path should build
+    // `Hydrator.prepare(dims).cached()` itself, pass it here, and
+    // `unpersist()` it when the query stops (the sink path's
+    // FailureSink.release() does exactly this); the default exists for
+    // short-lived jobs whose session ends with the query.
     Hydrator.hydratePrepared(aligned,
         preparedDims.getOrElse(Hydrator.prepare(dims).cached()), jobStart)
       .select(KgPipeline.TripleColumns.map(col): _*)

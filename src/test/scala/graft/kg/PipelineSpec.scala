@@ -552,6 +552,48 @@ class KgPipelineSpec extends SparkSpec {
     assert(SnapshotStore.read(spark, shard, "triples").get.count() === before)
   }
 
+  test("store file compaction: rows identical, fewer files, bucket layout re-established") {
+    import graft.sources.SnapshotStore
+    val dir = java.nio.file.Files.createTempDirectory("snaprewrite").toString
+    // amplified corpus (240 urls across all buckets) so each sharded
+    // commit's multi-task staging leaves several files per bucket — the
+    // append-per-run accumulation the rewrite exists to collapse
+    val base = Pages.fixtures(spark)
+    val pages = (0 until 40)
+      .map(i => base.withColumn("url", concat(col("url"), lit(s"/$i"))))
+      .reduce(_ unionByName _)
+    Seq(0 until 16, 16 until 40, 40 until 64).foreach { bs =>
+      KgPipeline.runAndCommitSnapshot(spark, pages, dims, client, dir,
+        KgPipeline.Config(numPartitions = 4, canonicalize = false,
+          buckets = Some(bs)))
+    }
+    def rows(v: Option[Int] = None) = SnapshotStore.read(spark, dir, "triples", v).get
+      .select("url", "subj_name", "predicate", "obj_name", "obj_final")
+      .collect().map(_.toSeq).toSet
+    val beforeRows = rows()
+    val beforeFiles = SnapshotStore.fileCount(spark, dir, "triples") +
+      SnapshotStore.fileCount(spark, dir, "done")
+    val v = KgPipeline.compactStoreFiles(spark, dir)
+    assert(v.nonEmpty)
+    // byte-identical row sets, strictly fewer files, layout preserved
+    assert(rows() === beforeRows)
+    val afterFiles = SnapshotStore.fileCount(spark, dir, "triples") +
+      SnapshotStore.fileCount(spark, dir, "done")
+    assert(afterFiles < beforeFiles)
+    assert(SnapshotStore.fileCount(spark, dir, "triples",
+      _.contains("url_bucket=")) ===
+      SnapshotStore.fileCount(spark, dir, "triples"))
+    // a later sharded run still resumes incrementally off the rewritten
+    // done table (nothing re-processes; version still advances)
+    val n = SnapshotStore.read(spark, dir, "triples").get.count()
+    KgPipeline.runAndCommitSnapshot(spark, pages, dims, client, dir,
+      KgPipeline.Config(numPartitions = 4, canonicalize = false,
+        buckets = Some(0 until 16)))
+    assert(SnapshotStore.read(spark, dir, "triples").get.count() === n)
+    // time travel still shows the pre-rewrite layout
+    assert(rows(Some(v.get - 1)) === beforeRows)
+  }
+
   test("tier-2 fuzzy alignment: misspelled unit links + hydrates; off by default") {
     val text = "The Waldron Shael is exposed near Minnesota."
     val page = Seq(("https://t/fuzzy",
