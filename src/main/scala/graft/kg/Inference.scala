@@ -250,7 +250,9 @@ object Inference {
             catch { case _: Exception => None } // not JSON: transient, retry
           root.foreach { r =>
             val arr = r.get("outputs")
-            if (r.has("error") || arr == null)
+            // hasNonNull, not has(): many APIs always include the error
+            // key and signal success with an explicit null ("error": null)
+            if (r.hasNonNull("error") || arr == null)
               () // JSON error envelope / no outputs: transient, retry
             else if (!arr.isArray || arr.size != batch.size)
               contractViolation = true // outputs present, wrong shape: fail fast

@@ -432,14 +432,41 @@ object KgPipeline {
     * pure layout maintenance, schedule-composable; [[graft.sources
     * .SnapshotStore.expireSnapshots]] reclaims the replaced files. */
   def compactStoreFiles(spark: SparkSession, tableDir: String): Option[Int] = {
-    def bucketed(df: DataFrame): (DataFrame, Seq[String]) =
-      if (df.columns.contains("url_bucket") || !df.columns.contains("url"))
-        (df.coalesce(8), Seq.empty) // legacy data-column layout: keep schema
-      else (df.withColumn("url_bucket", urlBucket(col("url")))
-        .repartition(UrlBuckets, col("url_bucket")), Seq("url_bucket"))
+    def bucketed(table: String)(df: DataFrame): (DataFrame, Seq[String]) =
+      stageBucketLayout(spark, tableDir, table, df) match {
+        case (d, Seq()) => (d.coalesce(8), Seq.empty)
+        case (d, cols) => (d.repartition(UrlBuckets, col("url_bucket")), cols)
+      }
     graft.sources.SnapshotStore.rewriteTables(spark, tableDir,
       Seq("triples", "done", "lineage", "failed"),
-      stage = Map("triples" -> bucketed _, "done" -> bucketed _))
+      stage = Map("triples" -> bucketed("triples") _,
+        "done" -> bucketed("done") _))
+  }
+
+  /** Decide a url-keyed store table's rewrite staging layout from the
+    * MANIFEST, not the read schema. A mixed store (old flat files carrying
+    * url_bucket as a data column + new Hive-partitioned files without it)
+    * resolves its merged read schema from whichever file Spark samples
+    * first — schema-based detection would then either persist NULL buckets
+    * or silently drop the layout. Manifest rule instead:
+    *  - any `url_bucket=` path marker ⇒ the store is on (or migrating to)
+    *    the partitioned layout: recompute the bucket from `url` (dropping
+    *    a stale data column if the merged schema surfaced one) and stage
+    *    partitioned — mixed stores CONVERGE to the pure layout;
+    *  - no markers and the data carries url_bucket ⇒ pure legacy store:
+    *    keep the schema byte-stable, no partitioning;
+    *  - no url column at all ⇒ not url-keyed, stage as-is. */
+  private[graft] def stageBucketLayout(spark: SparkSession, dir: String,
+      table: String, df: DataFrame): (DataFrame, Seq[String]) = {
+    val hasMarkers = graft.sources.SnapshotStore
+      .fileCount(spark, dir, table, _.contains("url_bucket=")) > 0
+    if (!df.columns.contains("url")) (df, Seq.empty)
+    else if (!hasMarkers && df.columns.contains("url_bucket")) (df, Seq.empty)
+    else {
+      val clean =
+        if (df.columns.contains("url_bucket")) df.drop("url_bucket") else df
+      (clean.withColumn("url_bucket", urlBucket(col("url"))), Seq("url_bucket"))
+    }
   }
 
   /** Resume done-set build side: pinned broadcast (default, unbeatable

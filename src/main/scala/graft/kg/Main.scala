@@ -9,7 +9,9 @@ import org.apache.spark.sql.functions._
   *   spark-submit --class graft.kg.Main <jar> \
   *     --pages <parquet dir | "synthetic:<sfDir>"> --out <dir> \
   *     [--partitions N] [--salted] [--no-canonicalize] [--snapshot] \
-  *     [--dedup <minJaccard>] [--open-vocabulary] [--buckets lo-hi]
+  *     [--dedup <minJaccard>] [--open-vocabulary] [--buckets lo-hi] \
+  *     [--fuzzy <minJaccard> [--fuzzy-cap <df>]] [--cosine <minSim>
+  *      [--cosine-lsh planes,bands]] [--no-broadcast-done]
   *
   * Maintenance modes (snapshot stores; run instead of a pipeline pass):
   *     --out <dir> --compact            global CC canonicalization rewrite
@@ -88,17 +90,19 @@ object Main {
       spark.stop(); return
     }
     if (opts.contains("redrive")) {
-      val corpus =
-        if (pagesSrc.startsWith("synthetic:"))
-          Pages.all(spark, pagesSrc.stripPrefix("synthetic:"))
-        else spark.read.parquet(pagesSrc)
-      val dims = Dims.snapshot(spark)
-      val client = Inference.defaultClient(
-        dims.stratDim.select("strat_name").collect().map(_.getString(0)),
-        dims.gazetteerDim.select("name").collect().map(_.getString(0)),
-        dims.mineralDim.select("mineral").collect().map(_.getString(0)))
+      // same bootstrap AND the same alignment-tier flags as a pipeline
+      // run: redriveFailed's contract is micro-batch-identical per-page
+      // semantics, so a tiered deployment passes its tiers here too —
+      // silently re-driving with tier-1-only linking would commit triples
+      // whose obj_canonical/obj_linked differ from the stream's
+      val (dims, client) = bootstrap(spark)
       val v = graft.streaming.StreamingKg.redriveFailed(
-        spark, outDir, corpus, dims, client)
+        spark, outDir, loadPages(spark, pagesSrc), dims, client,
+        fuzzyMinJaccard = opts.get("fuzzy").map(_.toDouble),
+        fuzzyStopGramMaxDf = opts.get("fuzzy-cap").map(_.toInt),
+        cosineMinSim = opts.get("cosine").map(_.toDouble),
+        cosineLshPrune = opts.get("cosine-lsh").map(parsePair),
+        broadcastTarget = !opts.contains("no-broadcast-done"))
       println(v.map(v => s"[graft] re-drive committed snapshot v$v at $outDir")
         .getOrElse(s"[graft] no failure log to re-drive at $outDir"))
       spark.stop(); return
@@ -117,16 +121,8 @@ object Main {
       spark.stop(); return
     }
 
-    val pages =
-      if (pagesSrc.startsWith("synthetic:"))
-        Pages.all(spark, pagesSrc.stripPrefix("synthetic:"))
-      else spark.read.parquet(pagesSrc)
-
-    val dims = Dims.snapshot(spark).persisted()
-    val client = Inference.defaultClient(
-      dims.stratDim.select("strat_name").collect().map(_.getString(0)),
-      dims.gazetteerDim.select("name").collect().map(_.getString(0)),
-      dims.mineralDim.select("mineral").collect().map(_.getString(0)))
+    val pages = loadPages(spark, pagesSrc)
+    val (dims, client) = bootstrap(spark)
 
     val cfg = KgPipeline.Config(
       numPartitions = numPartitions,
@@ -134,6 +130,11 @@ object Main {
       canonicalize = !opts.contains("no-canonicalize"),
       canonLocalProbe = !opts.contains("open-vocabulary"),
       dedupMinJaccard = opts.get("dedup").map(_.toDouble),
+      fuzzyAlignMinJaccard = opts.get("fuzzy").map(_.toDouble),
+      fuzzyStopGramMaxDf = opts.get("fuzzy-cap").map(_.toInt),
+      cosineAlignMinSim = opts.get("cosine").map(_.toDouble),
+      cosineAlignLshPrune = opts.get("cosine-lsh").map(parsePair),
+      broadcastDone = !opts.contains("no-broadcast-done"),
       buckets = opts.get("buckets").map { r =>
         // anchored regexes, not split: "5-" / "-5" / "a-b" all fall through
         // to the usage error instead of silently sharding to one bucket or
@@ -156,6 +157,33 @@ object Main {
     spark.stop()
   }
 
+  /** Corpus loader shared by the run and maintenance modes. */
+  private def loadPages(spark: SparkSession, src: String) =
+    if (src.startsWith("synthetic:"))
+      Pages.all(spark, src.stripPrefix("synthetic:"))
+    else spark.read.parquet(src)
+
+  /** Dim snapshot + default client, built ONCE per process (the run path
+    * and --redrive share it; dims persist so the three dictionary collects
+    * scan the snapshot plans once). */
+  private def bootstrap(spark: SparkSession): (Dims.Snapshot, Inference.InferenceClient) = {
+    val dims = Dims.snapshot(spark).persisted()
+    val client = Inference.defaultClient(
+      dims.stratDim.select("strat_name").collect().map(_.getString(0)),
+      dims.gazetteerDim.select("name").collect().map(_.getString(0)),
+      dims.mineralDim.select("mineral").collect().map(_.getString(0)))
+    (dims, client)
+  }
+
+  /** "planes,bands" → (planes, bands), anchored like --buckets. */
+  private def parsePair(v: String): (Int, Int) = {
+    val PairRe = """(\d+)\s*,\s*(\d+)""".r
+    v.trim match {
+      case PairRe(p, b) => (p.toInt, b.toInt)
+      case _ => sys.error(s"--cosine-lsh expects planes,bands, got: $v")
+    }
+  }
+
   @annotation.tailrec
   private def parse(args: List[String], acc: Map[String, String]): Map[String, String] =
     args match {
@@ -167,6 +195,11 @@ object Main {
       case "--no-canonicalize" :: rest => parse(rest, acc + ("no-canonicalize" -> "1"))
       case "--snapshot" :: rest => parse(rest, acc + ("snapshot" -> "1"))
       case "--dedup" :: v :: rest => parse(rest, acc + ("dedup" -> v))
+      case "--fuzzy" :: v :: rest => parse(rest, acc + ("fuzzy" -> v))
+      case "--fuzzy-cap" :: v :: rest => parse(rest, acc + ("fuzzy-cap" -> v))
+      case "--cosine" :: v :: rest => parse(rest, acc + ("cosine" -> v))
+      case "--cosine-lsh" :: v :: rest => parse(rest, acc + ("cosine-lsh" -> v))
+      case "--no-broadcast-done" :: rest => parse(rest, acc + ("no-broadcast-done" -> "1"))
       case "--open-vocabulary" :: rest => parse(rest, acc + ("open-vocabulary" -> "1"))
       case "--compact" :: rest => parse(rest, acc + ("compact" -> "1"))
       case "--compact-dedup" :: v :: rest => parse(rest, acc + ("compact-dedup" -> v))

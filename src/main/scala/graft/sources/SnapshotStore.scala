@@ -129,12 +129,27 @@ object SnapshotStore {
     * re-admit replayed micro-batches. The merge happens INSIDE the retry
     * loop against the base each attempt actually commits over, so a racing
     * append's fresh batch_id is never clobbered by a stale copy. */
+  /** @param requireVersion serializable-rewrite validation: the version
+    *        the caller READ before computing the replacement. A replace
+    *        stages content derived from that read — if another writer
+    *        commits in between (e.g. a streaming micro-batch appending to
+    *        the very table being rewritten), blindly publishing would
+    *        silently drop the concurrent append (the staged data pins the
+    *        stale file list; the CAS retry re-reads the version but not
+    *        the data). With requireVersion set, a head moved past it
+    *        aborts with ConcurrentModificationException and the caller
+    *        re-runs its read-compute-replace cycle against the new head —
+    *        the same validation an Iceberg rewrite does. The maintenance
+    *        jobs (compactions, re-drive, file rewrite) all pass it; None
+    *        preserves the old last-writer-wins behavior for quiesced
+    *        stores. */
   def commitReplace(spark: SparkSession, dir: String,
                     tables: Map[String, DataFrame], maxRetries: Int = 10,
                     meta: Map[String, String] = Map.empty,
-                    partitionBy: Map[String, Seq[String]] = Map.empty): Int =
+                    partitionBy: Map[String, Seq[String]] = Map.empty,
+                    requireVersion: Option[Int] = None): Int =
     commitInternal(spark, dir, tables, maxRetries, meta,
-      replaceTables = tables.keySet, partitionBy)
+      replaceTables = tables.keySet, partitionBy, requireVersion)
 
   /** Mixed-mode commit: `append` tables add files to their prior list,
     * `replace` tables' new files become their full content — all in ONE
@@ -148,21 +163,28 @@ object SnapshotStore {
                   append: Map[String, DataFrame],
                   replace: Map[String, DataFrame], maxRetries: Int = 10,
                   meta: Map[String, String] = Map.empty,
-                  partitionBy: Map[String, Seq[String]] = Map.empty): Int = {
+                  partitionBy: Map[String, Seq[String]] = Map.empty,
+                  requireVersion: Option[Int] = None): Int = {
     val both = append.keySet.intersect(replace.keySet)
     require(both.isEmpty, s"tables in both append and replace: $both")
     commitInternal(spark, dir, append ++ replace, maxRetries, meta,
-      replaceTables = replace.keySet, partitionBy)
+      replaceTables = replace.keySet, partitionBy, requireVersion)
   }
 
   private def commitInternal(spark: SparkSession, dir: String,
              tables: Map[String, DataFrame], maxRetries: Int,
              meta: Map[String, String], replaceTables: Set[String],
-             partitionBy: Map[String, Seq[String]] = Map.empty): Int = {
+             partitionBy: Map[String, Seq[String]] = Map.empty,
+             requireVersion: Option[Int] = None): Int = {
     val f = fs(spark, dir)
     var attempt = 0
     while (attempt < maxRetries) {
       val base = currentVersion(spark, dir)
+      requireVersion.foreach { rv =>
+        if (base != rv) throw new java.util.ConcurrentModificationException(
+          s"store $dir moved to v$base since the rewrite read v$rv — " +
+            "re-run the read-compute-replace cycle against the new head")
+      }
       val v = base + 1
       // stage: write each table's new files under a WRITER-UNIQUE directory.
       // Two racing writers both compute v = base+1; if they shared the stage
@@ -235,7 +257,9 @@ object SnapshotStore {
   def rewriteTables(spark: SparkSession, dir: String, tables: Seq[String],
                     coalesceTo: Int = 8,
                     stage: Map[String, DataFrame => (DataFrame, Seq[String])] = Map.empty): Option[Int] = {
-    val present = tables.flatMap(t => read(spark, dir, t).map(t -> _)).toMap
+    val readVersion = currentVersion(spark, dir)
+    val present = tables.flatMap(t =>
+      read(spark, dir, t, Some(readVersion).filter(_ > 0)).map(t -> _)).toMap
     if (present.isEmpty) return None
     // default staging: coalesce to a small bounded file count, no
     // partitioning. `stage` overrides per table with (staged frame,
@@ -250,7 +274,8 @@ object SnapshotStore {
       meta = Map("compaction" -> "rewrite"),
       partitionBy = staged.collect {
         case (t, (_, cols)) if cols.nonEmpty => t -> cols
-      }))
+      },
+      requireVersion = Some(readVersion)))
   }
 
   /** Retention sweep (the expire-snapshots + orphan-file maintenance of

@@ -283,6 +283,12 @@ object StreamingKg {
     * log (absent table, or already emptied by a prior re-drive — the job
     * is a read-only no-op then, committing nothing). A fully healed run
     * leaves the `failed` table with ZERO rows. */
+  /** @param broadcastTarget pins the re-drive url set as a broadcast join
+    *        build side — right while the failure log is incident-sized.
+    *        A corpus-wide outage makes the log page-cardinality, and a
+    *        pinned broadcast cannot be demoted by AQE — pass `false` for
+    *        a plain semi-join AQE sizes from runtime stats (the
+    *        KgPipeline.broadcastDone duality, same rationale). */
   def redriveFailed(spark: SparkSession, dir: String, pages: DataFrame,
                     dims: Dims.Snapshot, client: Inference.InferenceClient,
                     jobStart: java.sql.Timestamp =
@@ -290,11 +296,14 @@ object StreamingKg {
                     fuzzyMinJaccard: Option[Double] = None,
                     fuzzyStopGramMaxDf: Option[Int] = None,
                     cosineMinSim: Option[Double] = None,
-                    cosineLshPrune: Option[(Int, Int)] = None): Option[Int] = {
+                    cosineLshPrune: Option[(Int, Int)] = None,
+                    broadcastTarget: Boolean = true): Option[Int] = {
     import graft.sources.SnapshotStore
-    SnapshotStore.read(spark, dir, "failed")
+    val readVersion = SnapshotStore.currentVersion(spark, dir)
+    SnapshotStore.read(spark, dir, "failed", Some(readVersion).filter(_ > 0))
       .filterNot(_.isEmpty).map { failed =>
-      val triplesUrls = SnapshotStore.read(spark, dir, "triples")
+      val triplesUrls = SnapshotStore
+        .read(spark, dir, "triples", Some(readVersion))
         .map(_.select("url").distinct())
       val target0 = failed.select("url").distinct()
       val target = triplesUrls
@@ -304,7 +313,8 @@ object StreamingKg {
       // pages to re-run: target urls the corpus still has. Target urls the
       // corpus LOST keep their old log rows — clearing them silently would
       // erase the only record that extraction never succeeded.
-      val redrive = pages.join(broadcast(target), Seq("url"), "left_semi")
+      val targetSide = if (broadcastTarget) broadcast(target) else target
+      val redrive = pages.join(targetSide, Seq("url"), "left_semi")
       val res = KgPipeline.run(spark, redrive, dims, client,
         KgPipeline.Config(canonicalize = false, jobStart = jobStart,
           fuzzyAlignMinJaccard = fuzzyMinJaccard,
@@ -318,10 +328,14 @@ object StreamingKg {
         .groupBy("url").agg(min("failed_stage").as("failed_stage"))
       val newLog = res.failedUrls.unionByName(carried)
       val healedTriples = res.triples.select(KgPipeline.TripleColumns.map(col): _*)
+      // requireVersion: a micro-batch appending to `failed` between our
+      // read and this publish must fail the rewrite (re-run the job), not
+      // silently vanish under the replaced log
       val v = SnapshotStore.commitMixed(spark, dir,
         append = Map("triples" -> healedTriples),
         replace = Map("failed" -> newLog),
-        meta = Map("compaction" -> "redrive"))
+        meta = Map("compaction" -> "redrive"),
+        requireVersion = Some(readVersion))
       res.cleanup()
       target.unpersist(blocking = false)
       v
@@ -353,7 +367,9 @@ object StreamingKg {
                           jobStart: java.sql.Timestamp =
                             java.sql.Timestamp.valueOf("2024-06-01 00:00:00")): Option[Int] = {
     import graft.sources.SnapshotStore
-    SnapshotStore.read(spark, dir, "triples").map { triples =>
+    val readVersion = SnapshotStore.currentVersion(spark, dir)
+    SnapshotStore.read(spark, dir, "triples",
+        Some(readVersion).filter(_ > 0)).map { triples =>
       // Schema-stable rewrite: canonicalization's improvement folds into
       // obj_canonical and the output projects back to the stream's exact
       // column set — later micro-batches append the same schema, so
@@ -375,7 +391,7 @@ object StreamingKg {
       val compacted = rehydrated
         .withColumn("obj_canonical", col("obj_final"))
         .select(triples.columns.map(col): _*)
-      val (staged, parts) = bucketStaged(compacted)
+      val (staged, parts) = bucketStaged(spark, dir, compacted)
       // commitReplace carries the prior snapshot's meta forward internally —
       // commitBatch's exactly-once check reads meta.batch_id from the HEAD
       // snapshot, and a compaction that dropped it would reset the watermark
@@ -383,7 +399,8 @@ object StreamingKg {
       SnapshotStore.commitReplace(spark, dir,
         Map("triples" -> staged),
         meta = Map("compaction" -> "canonicalize"),
-        partitionBy = parts)
+        partitionBy = parts,
+        requireVersion = Some(readVersion))
     }
   }
 
@@ -419,7 +436,13 @@ object StreamingKg {
                    jobStart: java.sql.Timestamp =
                      java.sql.Timestamp.valueOf("2024-06-01 00:00:00")): Option[Int] = {
     import graft.sources.SnapshotStore
-    SnapshotStore.read(spark, dir, "triples").map { triples =>
+    val readVersion = SnapshotStore.currentVersion(spark, dir)
+    SnapshotStore.read(spark, dir, "triples",
+        Some(readVersion).filter(_ > 0)).map { triples0 =>
+      // the store read feeds the drop bookkeeping AND the rewrite staging —
+      // persist so the parquet scan runs once, not once per action
+      val triples = triples0
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val docs = corpus.select(col("url"), col("text"))
         .withColumn("doc_id", xxhash64(col("url")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -429,17 +452,23 @@ object StreamingKg {
       // loser urls are duplicate-cluster members only — tiny next to the
       // corpus, so the rewrite anti-join broadcasts under AQE
       val loserUrls = docs.join(losers, docs("doc_id") === losers("drop_id"))
-        .select("url")
+        .select("url").distinct() // one row per url even on a dup-url corpus
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val kept = triples.join(loserUrls, Seq("url"), "left_anti")
-      val (keptStaged, keptParts) = bucketStaged(kept)
-      val inRows = triples.count()
-      val dropRows = triples.join(loserUrls, Seq("url"), "left_semi").count()
-      // meta counts are STORE-level: urls whose triples this compaction
-      // dropped (corpus losers with no stored triples — e.g. pages a
-      // shard's own gate already dropped — don't inflate the number)
-      val droppedUrls = triples.join(loserUrls, Seq("url"), "left_semi")
-        .select("url").distinct().count()
+      val (keptStaged, keptParts) = bucketStaged(spark, dir, kept)
+      // ONE bookkeeping pass: total rows + dropped rows + dropped urls
+      // from a single aggregation over the store join (meta counts are
+      // STORE-level: corpus losers with no stored triples — e.g. pages a
+      // shard's own gate already dropped — don't inflate the numbers)
+      val stats = triples
+        .join(loserUrls.withColumn("is_drop", lit(true)), Seq("url"), "left")
+        .agg(count(lit(1)).as("in_rows"),
+          coalesce(sum(when(col("is_drop"), 1L)), lit(0L)).as("drop_rows"),
+          count_distinct(when(col("is_drop"), col("url"))).as("drop_urls"))
+        .collect().head
+      val inRows = stats.getLong(0)
+      val dropRows = stats.getLong(1)
+      val droppedUrls = stats.getLong(2)
       val lineageRow = {
         import spark.implicits._
         Seq(("compact_dedup", null.asInstanceOf[java.lang.Long],
@@ -451,13 +480,17 @@ object StreamingKg {
           .withColumn("partition_id", col("partition_id").cast("int"))
           .withColumn("job_start", lit(jobStart))
       }
+      // requireVersion: a concurrent append to triples between our read
+      // and this publish must abort the rewrite, not vanish under it
       val v = SnapshotStore.commitMixed(spark, dir,
         append = Map("lineage" -> lineageRow),
         replace = Map("triples" -> keptStaged),
         meta = Map("compaction" -> "dedup",
           "dedup_dropped_urls" -> droppedUrls.toString,
           "dedup_dropped_triples" -> dropRows.toString),
-        partitionBy = keptParts)
+        partitionBy = keptParts,
+        requireVersion = Some(readVersion))
+      triples.unpersist(blocking = false)
       docs.unpersist(blocking = false)
       loserUrls.unpersist(blocking = false)
       v
@@ -471,11 +504,15 @@ object StreamingKg {
     * (no partitioning — mixing would drift the read schema); everything
     * else is staged Hive-partitioned on the recomputed bucket, which the
     * partitionBy write strips from the file data — reads stay
-    * schema-identical to the streaming sink's TripleColumns. */
-  private def bucketStaged(df: DataFrame): (DataFrame, Map[String, Seq[String]]) =
-    if (df.columns.contains("url_bucket")) (df, Map.empty[String, Seq[String]])
-    else (df.withColumn("url_bucket", KgPipeline.urlBucket(col("url"))),
-      Map("triples" -> Seq("url_bucket")))
+    * schema-identical to the streaming sink's TripleColumns. Layout is
+    * decided from the MANIFEST via [[KgPipeline.stageBucketLayout]]
+    * (read-schema detection misclassifies mixed old/new stores). */
+  private def bucketStaged(spark: SparkSession, dir: String,
+                           df: DataFrame): (DataFrame, Map[String, Seq[String]]) =
+    KgPipeline.stageBucketLayout(spark, dir, "triples", df) match {
+      case (d, Seq()) => (d, Map.empty)
+      case (d, cols) => (d, Map("triples" -> cols))
+    }
 
   /** Cross-micro-batch exactly-once on the EVENT side: duplicate ids
     * arriving within the lateness horizon are dropped with bounded state —

@@ -232,6 +232,14 @@ class PostProcessSpec extends AnyFunSuite {
     }, maxRetries = 2)
     assert(mixed.infer(two) === Seq("", ""))
     assert(calls6 === 2)
+    // but an explicit NULL error ("error": null — the always-present error
+    // key many APIs use to signal success) is NOT an envelope: first try
+    var calls7 = 0
+    val nullErr = new Inference.TransportClient("vllm-test", { _ =>
+      calls7 += 1; """{"outputs": ["p", "q"], "error": null}"""
+    }, maxRetries = 3)
+    assert(nullErr.infer(two) === Seq("p", "q"))
+    assert(calls7 === 1)
   }
 
   test("clientFor dispatch: heuristic by default, transport required otherwise") {

@@ -76,6 +76,29 @@ class SnapshotStoreSpec extends SparkSpec {
     }
   }
 
+  test("replace rewrite aborts when the store moved past its read version") {
+    val dir = tmp("snapocc")
+    SnapshotStore.commit(spark, dir, Map("t" -> Seq((1L, "a")).toDF("id", "v")))
+    val readV = SnapshotStore.currentVersion(spark, dir)
+    // a concurrent appender (e.g. a streaming micro-batch) lands between
+    // the rewrite's read and its publish — blind replace would silently
+    // drop that append; requireVersion turns it into a retryable abort
+    SnapshotStore.commit(spark, dir, Map("t" -> Seq((2L, "b")).toDF("id", "v")))
+    intercept[java.util.ConcurrentModificationException] {
+      SnapshotStore.commitReplace(spark, dir,
+        Map("t" -> Seq((9L, "z")).toDF("id", "v")),
+        requireVersion = Some(readV))
+    }
+    // nothing replaced: the concurrent append is intact
+    assert(SnapshotStore.read(spark, dir, "t").get.count() === 2L)
+    // re-running the read-compute-replace cycle at the new head succeeds
+    val v = SnapshotStore.commitReplace(spark, dir,
+      Map("t" -> Seq((9L, "z")).toDF("id", "v")),
+      requireVersion = Some(SnapshotStore.currentVersion(spark, dir)))
+    assert(v === 3)
+    assert(SnapshotStore.read(spark, dir, "t").get.count() === 1L)
+  }
+
   test("snapshot isolation: staged-but-unpublished data is invisible") {
     val dir = tmp("snapiso")
     SnapshotStore.commit(spark, dir, Map("t" -> Seq((1L, "a")).toDF("id", "v")))
