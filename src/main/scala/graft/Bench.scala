@@ -38,16 +38,41 @@ object Bench {
     * first probe. */
   val CalibrationIters: Long = 400_000_000L
   @volatile private var calSink: Long = 0L
+  private def xorshiftLoop(n: Long): Long = {
+    var x = 0x9E3779B97F4A7C15L
+    var i = 0L
+    while (i < n) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+    x
+  }
   def calibrate(iters: Long = CalibrationIters): Double = {
-    def loop(n: Long): Long = {
-      var x = 0x9E3779B97F4A7C15L
-      var i = 0L
-      while (i < n) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
-      x
-    }
-    calSink = loop(iters / 16) // self-warmup, untimed
+    calSink = xorshiftLoop(iters / 16) // self-warmup, untimed
     val t0 = System.nanoTime()
-    calSink = loop(iters)
+    calSink = xorshiftLoop(iters)
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Multi-core companion probe: `threads` concurrent copies of the same
+    * chain, wall time until ALL finish. On an idle box this ≈ the
+    * single-thread probe (independent register chains, no shared data);
+    * when a noisy neighbor steals cores it inflates even while the
+    * single-thread probe stays flat — exactly the failure mode a round-6
+    * dry run hit (8-thread scaling phases +15-17% with probes at 0.85).
+    * Reported beside the single probe so the artifact distinguishes THREE
+    * states: rested (both low), credit-drained (both high), core-stolen
+    * (single low, multi high). */
+  def calibrateParallel(threads: Int = 8,
+                        iters: Long = CalibrationIters): Double = {
+    val sinks = new java.util.concurrent.atomic.AtomicLong(0)
+    def fleet(n: Long): Unit = {
+      val ts = (0 until threads).map(_ => new Thread(() => {
+        sinks.addAndGet(xorshiftLoop(n))
+      }))
+      ts.foreach(_.start()); ts.foreach(_.join())
+    }
+    fleet(iters / 16) // warmup, untimed
+    val t0 = System.nanoTime()
+    fleet(iters)
+    calSink = sinks.get()
     (System.nanoTime() - t0) / 1e9
   }
 
@@ -211,20 +236,24 @@ object Bench {
     // whichever order the parts execute. Per-scaling-phase probes live
     // inside the scaling JSON itself.
     val calPoints = scala.collection.mutable.LinkedHashMap[String, Double]()
+    def calPoint(name: String): Unit = {
+      calPoints(name) = calibrate()
+      calPoints(name + "_mc") = calibrateParallel()
+    }
     val (results, scalingJson) =
       if (sys.env.contains("SPARK_GRAFT_QUERIES_FIRST")) {
-        calPoints("before_queries") = calibrate()
+        calPoint("before_queries")
         val q = runQueries()
-        calPoints("before_scaling") = calibrate()
+        calPoint("before_scaling")
         val s = runScaling()
-        calPoints("end") = calibrate()
+        calPoint("end")
         (q, s)
       } else {
-        calPoints("before_scaling") = calibrate()
+        calPoint("before_scaling")
         val s = runScaling()
-        calPoints("before_queries") = calibrate()
+        calPoint("before_queries")
         val q = runQueries()
-        calPoints("end") = calibrate()
+        calPoint("end")
         (q, s)
       }
     val calJson = calPoints.map { case (k, v) => f""""$k":$v%.3f""" }
@@ -396,18 +425,23 @@ object Bench {
     val calA = scala.collection.mutable.ArrayBuffer.empty[Double]
     val calB = scala.collection.mutable.ArrayBuffer.empty[Double]
     val calC = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val calAm = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val calBm = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val calCm = scala.collection.mutable.ArrayBuffer.empty[Double]
     // Phase order A, C, B within each round: C (1 JVM x 4N threads) is the
     // headline-bearing proxy on this box, so it measures right after the
     // cheap A phase; B (4 concurrent JVMs — the burstiest load and the
     // memory-bus-bound lower bound) runs last so its credit drain lands on
     // the inter-round gap, not on C. Round-6 validation measured the old
-    // A,B,C order systematically throttling every C phase.
+    // A,B,C order systematically throttling every C phase. Each phase is
+    // bracketed by BOTH probes (single after pacing, then multi-core) —
+    // the pair separates credit drain from neighbor core steal.
     for (_ <- 0 until rounds) {
-      calA += pacedProbe()
+      calA += pacedProbe(); calAm += calibrateParallel()
       phase(1, execCores) match { case Some(r) => a += r; case None => return None }
-      calC += pacedProbe()
+      calC += pacedProbe(); calCm += calibrateParallel()
       phase(1, execCores * 4) match { case Some(r) => c += r; case None => return None }
-      calB += pacedProbe()
+      calB += pacedProbe(); calBm += calibrateParallel()
       phase(4, execCores) match { case Some(r) => b += r; case None => return None }
     }
     def best(rs: Seq[(Long, Double, Long)]) = rs.minBy(_._2)
@@ -449,11 +483,11 @@ object Bench {
       math.min(pairThreads.max, effThreads))
     val upper = Seq(effExec, effThreads, pairExec.max, pairThreads.max).max
     Some(f"""{"mode":"dual","executor_cores":$execCores,"pages":$pagesN,"triples":$triplesB,"rounds":$rounds,""" +
-      f""""calibration_secs":{"before_n":${arr(calA.toSeq)},"before_exec_jvms":${arr(calB.toSeq)},"before_threads":${arr(calC.toSeq)},"pacing_wait_secs":${240.0 - waitBudget}%.0f},""" +
+      f""""calibration_secs":{"before_n":${arr(calA.toSeq)},"before_n_mc":${arr(calAm.toSeq)},"before_exec_jvms":${arr(calB.toSeq)},"before_exec_jvms_mc":${arr(calBm.toSeq)},"before_threads":${arr(calC.toSeq)},"before_threads_mc":${arr(calCm.toSeq)},"pacing_wait_secs":${240.0 - waitBudget}%.0f},""" +
       f""""secs_n":$secsN%.2f,"pages_per_sec_n":$tputN%.1f,"runs_n":${runs(a.toSeq)},""" +
       f""""executor_jvms":{"executors_4n":4,"secs_4n":$secsB%.2f,"pages_per_sec_4n":$tputB%.1f,"runs_4n":${runs(b.toSeq)},"efficiency":$effExec%.3f,"round_pair_efficiencies":${arr(pairExec)}},""" +
       f""""fresh_jvm_threads":{"cores_4n":${execCores * 4},"secs_4n":$secsC%.2f,"pages_per_sec_4n":$tputC%.1f,"runs_4n":${runs(c.toSeq)},"efficiency":$effThreads%.3f,"round_pair_efficiencies":${arr(pairThreads)}},""" +
       f""""scaling_efficiency":$eff%.3f,"scaling_efficiency_upper_bound":$upper%.3f,""" +
-      """"methodology":"phases interleaved per round in order A(1 JVM x N cores, full input), C(1 JVM x 4N cores, full input), B(4 JVMs x N cores, disjoint quarter shards, fleet time = slowest) — C carries the headline on this box so it gets the fresh slot, B's burst drains credits so it runs last; a single-threaded calibration probe runs before each phase (calibration_secs), and if it reads >8% above the session best the phase waits briefly for burstable-credit recovery (bounded pacing_wait_secs budget); fresh child JVM per measurement, bootstrap excluded from timed region; efficiency = (tput_4N/tput_N)/4; headline = per mode min(best adjacent-pair, best-level), max over the two modes — adjacent pairs cancel slow drift, best-level is robust to a throttled same-round partner, the min is conservative against both failure modes; the cross-estimator max is reported separately as an upper bound; both single-machine proxies UNDER-estimate multi-node fleet scaling (4N real executors add 4x memory channels; this box shares one — see BASELINE.md)"}""")
+      """"methodology":"phases interleaved per round in order A(1 JVM x N cores, full input), C(1 JVM x 4N cores, full input), B(4 JVMs x N cores, disjoint quarter shards, fleet time = slowest) — C carries the headline on this box so it gets the fresh slot, B's burst drains credits so it runs last; a single-threaded calibration probe plus an 8-thread multi-core companion run before each phase (calibration_secs; the pair separates credit drain — both high — from neighbor core steal — single flat, _mc high), and if the single probe reads >8% above the session best the phase waits briefly for burstable-credit recovery (bounded pacing_wait_secs budget); fresh child JVM per measurement, bootstrap excluded from timed region; efficiency = (tput_4N/tput_N)/4; headline = per mode min(best adjacent-pair, best-level), max over the two modes — adjacent pairs cancel slow drift, best-level is robust to a throttled same-round partner, the min is conservative against both failure modes; the cross-estimator max is reported separately as an upper bound; both single-machine proxies UNDER-estimate multi-node fleet scaling (4N real executors add 4x memory channels; this box shares one — see BASELINE.md)"}""")
   }
 }
