@@ -36,6 +36,19 @@ object Dedup {
   def tokens(textCol: Column): Column =
     array_distinct(filter(split(textCol, " "), t => t =!= ""))
 
+  /** All ordered pairs (x, y) with x before y of a SORTED array column —
+    * the bucket-local pair generator that replaces a bucket self-join.
+    * A self-join evaluates the (often expensive) bucket-producing subtree
+    * once per join SIDE — Spark cannot reuse the exchange because the two
+    * sides' projections differ — while groupBy(bucket) + this expression
+    * computes it exactly once (round-7 plan audit: the simhash fingerprint
+    * subtree appeared 8x in dedup_simhash_near's physical plan). Work is
+    * O(pairs-per-bucket) either way. */
+  private[ops] def orderedPairs(ids: Column): Column =
+    flatten(transform(ids, (x, i) =>
+      transform(slice(ids, i + lit(2), size(ids)),
+        y => struct(x.as("a"), y.as("b")))))
+
   /** Distinct word n-gram shingles (n consecutive tokens joined by one
     * space) — pure array expressions, codegen'd. Documents shorter than n
     * tokens yield no shingles (sequence would otherwise run descending). */
@@ -67,20 +80,27 @@ object Dedup {
     tok.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
-  /** LSH candidate pairs: docs sharing any band (doc_a < doc_b). */
+  /** LSH candidate pairs: docs sharing any band (doc_a < doc_b).
+    *
+    * One pass: the per-doc band hashes are emitted as an exploded array (the
+    * signature aggregation runs ONCE — the former per-band unionAll + self-
+    * join evaluated it 4x), docs grouped per (band, band_hash) bucket, and
+    * pairs generated bucket-locally. Identical pair set; the bucket group
+    * is the same equi-key the join used, never all-pairs. */
   def minhashCandidates(docs: DataFrame): DataFrame = {
     val sigs = minhashSignatures(docs)
     val rows = MinhashK / Bands
-    val bands = (0 until Bands).map { b =>
+    val bandCols = (0 until Bands).map { b =>
       val cols = (b * rows until (b + 1) * rows).map(i => col(s"h$i"))
-      sigs.select(col("doc_id"), lit(b).as("band"),
-        md5(concat_ws("|", cols: _*)).as("band_hash"))
-    }.reduce(_ unionAll _)
-    val l = bands.select(col("band"), col("band_hash"), col("doc_id").as("doc_a"))
-    val r = bands.select(col("band"), col("band_hash"), col("doc_id").as("doc_b"))
-    l.join(r, Seq("band", "band_hash"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
+      struct(lit(b).as("band"), md5(concat_ws("|", cols: _*)).as("band_hash"))
+    }
+    sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .groupBy(col("bb.band").as("band"), col("bb.band_hash").as("band_hash"))
+      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(orderedPairs(col("ids"))).as("p"))
+      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+      .distinct()
   }
 
   /** nBits-wide SimHash: bit i is the majority over tokens of (i-th hex
@@ -131,20 +151,26 @@ object Dedup {
         "leave the top bits un-banded and silently void the recall guarantee")
     val blockBits = nBits / nBlocks
     val fp = simhashFp(docs, nBits)
-    val blocks = (0 until nBlocks).map { b =>
-      fp.select(col("doc_id"), col("simhash"), lit(b).as("blk"),
-        shiftright(col("simhash"), b * blockBits)
-          .bitwiseAND(lit((1L << blockBits) - 1)).as("blk_val"))
-    }.reduce(_ unionAll _)
-    val l = blocks.select(col("blk"), col("blk_val"),
-      col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
-    val r = blocks.select(col("blk"), col("blk_val"),
-      col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
-    l.join(r, Seq("blk", "blk_val"))
-      .filter(col("doc_a") < col("doc_b"))
+    // One pass over the fingerprint aggregation (the former per-block
+    // unionAll + self-join evaluated the fp subtree 2*nBlocks times —
+    // round-7 plan audit: 8 copies in the physical plan): posexplode the
+    // block values, group docs per (block index, block bits) bucket, and
+    // generate pairs bucket-locally. The bucket group is the same equi-key
+    // the join used — never an all-pairs comparison.
+    val blockVals = array((0 until nBlocks).map(b =>
+      shiftright(col("simhash"), b * blockBits)
+        .bitwiseAND(lit((1L << blockBits) - 1))): _*)
+    fp.select(col("doc_id"), col("simhash"),
+        posexplode(blockVals).as(Seq("blk", "blk_val")))
+      .groupBy("blk", "blk_val")
+      .agg(sort_array(collect_set(struct(col("doc_id"), col("simhash")))).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(explode(orderedPairs(col("ds"))).as("p"))
+      .select(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
+        col("p.a.simhash").as("sh_a"), col("p.b.simhash").as("sh_b"))
+      .distinct() // (doc_a, doc_b) determine (sh_a, sh_b): same pair set
       .select(col("doc_a"), col("doc_b"),
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxHamming)
   }
 
@@ -154,8 +180,11 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc_id"))
       .filter(col("n_docs") > 1)
 
-  private def jaccardOf(tok: DataFrame, inter: DataFrame, minJaccard: Double): DataFrame = {
-    val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+  /** Attach per-doc set sizes (computed CLOSED-FORM from the doc scan —
+    * sz = size of the distinct element array, no explode + groupBy pass)
+    * and emit thresholded Jaccard rows. `inter` carries pairs with >= 1
+    * shared element only, matching the join-generated pair universe. */
+  private def jaccardOf(sizes: DataFrame, inter: DataFrame, minJaccard: Double): DataFrame =
     inter
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
       .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
@@ -163,44 +192,59 @@ object Dedup {
         round(col("inter") / (col("sz_a") + col("sz_b") - col("inter")) + TextOps.RoundEps, 4))
       .filter(col("jaccard") >= minJaccard)
       .select("doc_a", "doc_b", "jaccard")
+
+  /** Shared all-pairs intersection counter: explode the element array ONCE,
+    * group docs per element, generate bucket-local pairs, count shared
+    * elements per pair. The former element self-join evaluated the
+    * tokenize subtree once per side (plus once more for sizes); this runs
+    * it once and the sizes come closed-form from the scan. */
+  private def allPairsJaccard(docs: DataFrame, elems: Column, minJaccard: Double): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(elems).as("tok"))
+    val inter = tok.groupBy("tok")
+      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(orderedPairs(col("ids"))).as("p"))
+      .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    val sizes = docs.select(col("doc_id"), size(elems).as("sz"))
+    jaccardOf(sizes, inter, minJaccard)
   }
 
   /** Token-set Jaccard over ALL pairs of `docs` — the verification baseline
-    * for BOUNDED inputs only (the token self-join is O(pairs-per-token); at
+    * for BOUNDED inputs only (pair generation is O(pairs-per-token); at
     * corpus scale use [[jaccard]] with an LSH candidate set instead). */
-  def jaccardAllPairs(docs: DataFrame, minJaccard: Double): DataFrame = {
-    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-    val inter = tok.select(col("doc_id").as("doc_a"), col("tok"))
-      .join(tok.select(col("doc_id").as("doc_b"), col("tok")), "tok")
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-    jaccardOf(tok, inter, minJaccard)
-  }
+  def jaccardAllPairs(docs: DataFrame, minJaccard: Double): DataFrame =
+    allPairsJaccard(docs, tokens(col("text")), minJaccard)
 
   /** Word n-gram shingle Jaccard over all pairs — BOUNDED inputs only
-    * (shingle sets are near-unique per document, so the self-join fans out
-    * far less than token Jaccard, but the scale path is still candidates-
-    * first like [[jaccard]]). */
-  def jaccardNgram(docs: DataFrame, n: Int, minJaccard: Double): DataFrame = {
-    val tok = docs.select(col("doc_id"), explode(shingles(col("text"), n)).as("tok"))
-    val inter = tok.select(col("doc_id").as("doc_a"), col("tok"))
-      .join(tok.select(col("doc_id").as("doc_b"), col("tok")), "tok")
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-    jaccardOf(tok, inter, minJaccard)
-  }
+    * (shingle sets are near-unique per document, so pair generation fans
+    * out far less than token Jaccard, but the scale path is still
+    * candidates-first like [[jaccard]]). */
+  def jaccardNgram(docs: DataFrame, n: Int, minJaccard: Double): DataFrame =
+    allPairsJaccard(docs, shingles(col("text"), n), minJaccard)
 
   /** Candidate-restricted token-set Jaccard — the 10^12-doc shape: token
     * intersections are computed ONLY for the supplied candidate pairs
-    * (doc_a, doc_b), never all-pairs. Both joins are equi-joins on doc id /
-    * (doc id, token); work is O(|candidates| x tokens-per-doc). */
+    * (doc_a, doc_b), never all-pairs. Each side's distinct-token ARRAY is
+    * attached by an equi-join on doc id and the intersection is the
+    * codegen'd array_intersect — no token explode, no per-pair aggregation
+    * pass; work is O(|candidates| x tokens-per-doc), as before, with two
+    * joins instead of three plus a groupBy. Pairs with an empty
+    * intersection are dropped exactly as the former inner token join
+    * dropped them. */
   def jaccard(docs: DataFrame, candidates: DataFrame, minJaccard: Double): DataFrame = {
-    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-    val inter = candidates.select("doc_a", "doc_b")
-      .join(tok.select(col("doc_id").as("doc_a"), col("tok")), "doc_a")
-      .join(tok.select(col("doc_id").as("doc_b"), col("tok")), Seq("doc_b", "tok"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-    jaccardOf(tok, inter, minJaccard)
+    val docsTok = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+    candidates.select("doc_a", "doc_b")
+      .join(docsTok.select(col("doc_id").as("doc_a"), col("toks").as("toks_a")), "doc_a")
+      .join(docsTok.select(col("doc_id").as("doc_b"), col("toks").as("toks_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("toks_a"), col("toks_b"))).as("inter"),
+        size(col("toks_a")).as("sz_a"), size(col("toks_b")).as("sz_b"))
+      .filter(col("inter") > 0)
+      .withColumn("jaccard",
+        round(col("inter") / (col("sz_a") + col("sz_b") - col("inter")) + TextOps.RoundEps, 4))
+      .filter(col("jaccard") >= minJaccard)
+      .select("doc_a", "doc_b", "jaccard")
   }
 
   /** Duplicate-cluster resolution: connected components over verified

@@ -108,16 +108,31 @@ object Similarity {
 
   /** Nearest-centroid assignment: (vec_id, cluster, dist); argmin over
     * squared L2 with cluster-id tie-break (min over the (dist, cluster)
-    * struct — lexicographic, deterministic). The only crossJoin is against
-    * the broadcast k-row centroid table (bounded by construction). */
+    * struct — lexicographic, deterministic). */
   def kmeansAssign(embeddings: DataFrame, centroids: DataFrame): DataFrame =
+    assignCarry(embeddings, centroids).select("vec_id", "cluster", "dist")
+
+  /** Assignment kernel: the k-row centroid table is folded into ONE array
+    * and the argmin is an array_min over per-centroid (dist, cluster)
+    * structs — a NARROW map over the corpus. The former k-way crossJoin +
+    * groupBy(vec_id) shuffled k rows per vector and re-merged them; this
+    * shuffles nothing (the only exchange left is the 1-row centroid-array
+    * broadcast, bounded by construction). min-struct semantics and the
+    * rounded distance expression are identical, so assignments are
+    * bit-equal (OpsSpec pins them). The embedding rides along so callers
+    * (the Lloyd update, IVF scan) need no join-back to re-attach it. */
+  private def assignCarry(embeddings: DataFrame, centroids: DataFrame): DataFrame = {
+    val centsArr = centroids
+      .agg(sort_array(collect_list(struct(col("cluster"), col("centroid")))).as("cs"))
     embeddings.select(col("vec_id"), col("embedding"))
-      .crossJoin(broadcast(centroids))
-      .select(col("vec_id"), col("cluster"),
-        sqDist(col("embedding"), col("centroid")).as("dist"))
-      .groupBy("vec_id")
-      .agg(min(struct(col("dist"), col("cluster"))).as("m"))
-      .select(col("vec_id"), col("m.cluster").as("cluster"), col("m.dist").as("dist"))
+      .crossJoin(broadcast(centsArr))
+      .select(col("vec_id"), col("embedding"),
+        array_min(transform(col("cs"), c =>
+          struct(sqDist(col("embedding"), c.getField("centroid")).as("dist"),
+            c.getField("cluster").as("cluster")))).as("m"))
+      .select(col("vec_id"), col("embedding"),
+        col("m.cluster").as("cluster"), col("m.dist").as("dist"))
+  }
 
   /** Deterministic Lloyd's k-means over the embedding column — a TRAINED
     * coarse quantizer for IVF instead of the `label` stand-in. Fully
@@ -159,8 +174,10 @@ object Similarity {
     var cents = initRanked.select("cluster", "centroid")
       .localCheckpoint(true)
     for (_ <- 0 until iters) {
-      val assigned = kmeansAssign(e, cents).select("vec_id", "cluster")
-      val dim = assigned.join(e, "vec_id")
+      // assignCarry keeps the embedding on the assigned row, so the
+      // centroid update needs no join-back against the corpus
+      val assigned = assignCarry(e, cents)
+      val dim = assigned
         .select(col("cluster"), posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy("cluster", "pos").agg(round(avg(col("v")), 6).as("c"))
       cents = dim.groupBy("cluster")
@@ -184,7 +201,6 @@ object Similarity {
   def ivfTopKKmeans(embeddings: DataFrame, queryId: Long, k: Int, nprobe: Int,
                     kClusters: Int, iters: Int): DataFrame = {
     val cents = kmeansCentroids(embeddings, kClusters, iters)
-    val assigned = kmeansAssign(embeddings, cents).select("vec_id", "cluster")
     val q = embeddings.filter(col("vec_id") === queryId)
       .select(col("embedding").as("q"))
     val probed = cents.crossJoin(broadcast(q))
@@ -192,7 +208,7 @@ object Similarity {
       .orderBy(col("d"), col("cluster"))
       .limit(nprobe)
       .select("cluster")
-    embeddings.join(assigned, "vec_id")
+    assignCarry(embeddings, cents) // embedding carried: no corpus join-back
       .filter(col("vec_id") =!= queryId)
       .join(broadcast(probed), "cluster") // cluster pruning: only probed cells scanned
       .crossJoin(broadcast(q))
@@ -221,19 +237,37 @@ object Similarity {
     val rows = numHyperplanes / bands
     val e = embeddings.select(col("vec_id"), col("embedding"),
       norm(col("embedding")).as("nrm"))
-    val anchors = e.filter(col("vec_id") < numHyperplanes)
-      .select(col("vec_id").as("h_id"), col("embedding").as("hyper"))
-    val bits = e.crossJoin(broadcast(anchors))
-      .select(col("vec_id"), (col("h_id") / rows).cast("int").as("band"), col("h_id"),
-        when(dot(col("embedding"), col("hyper")) >= 0, lit("1")).otherwise(lit("0")).as("bit"))
-    val sigs = bits.groupBy("vec_id", "band")
-      .agg(array_join(transform(
-        array_sort(collect_list(struct(col("h_id"), col("bit")))),
-        x => x.getField("bit")), "").as("band_sig"))
-    val cand = sigs.as("a").join(sigs.as("b"),
-        col("a.band") === col("b.band") && col("a.band_sig") === col("b.band_sig") &&
-          col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+    // Anchor table folded into ONE sorted array (h_id order — the order the
+    // former array_sort(collect_list) established per group), broadcast as
+    // a 1-row frame. Signatures are then a NARROW map per vector: for each
+    // band present among the anchors, concat the sign-bits of that band's
+    // anchors — no per-(vector, anchor) fan-out, no groupBy(vec_id, band)
+    // exchange. Bit and band expressions are identical to the exploded
+    // form, so signatures (and the candidate pair set) are unchanged.
+    val anchorsArr = e.filter(col("vec_id") < numHyperplanes)
+      .agg(sort_array(collect_list(
+        struct(col("vec_id").as("h_id"), col("embedding").as("hyper")))).as("anch"))
+    def bandOf(h: Column): Column = (h / rows).cast("int")
+    val bandList = array_distinct(transform(col("anch"),
+      a => bandOf(a.getField("h_id"))))
+    val sigArr = transform(bandList, b =>
+      struct(b.as("band"),
+        array_join(transform(
+          filter(col("anch"), x => bandOf(x.getField("h_id")) === b),
+          x => when(dot(col("embedding"), x.getField("hyper")) >= 0, lit("1"))
+            .otherwise(lit("0"))), "").as("band_sig")))
+    val sigs = e.crossJoin(broadcast(anchorsArr))
+      .select(col("vec_id"), explode(sigArr).as("bs"))
+      .select(col("vec_id"), col("bs.band").as("band"),
+        col("bs.band_sig").as("band_sig"))
+    // bucket-local pair generation replaces the signature self-join (which
+    // evaluated the signature subtree once per side — same rationale as
+    // Dedup.minhashCandidates)
+    val cand = sigs.groupBy("band", "band_sig")
+      .agg(sort_array(collect_set(col("vec_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(Dedup.orderedPairs(col("ids"))).as("p"))
+      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
       .distinct()
     cand
       .join(e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"), col("nrm").as("nrm_a")), "id_a")
