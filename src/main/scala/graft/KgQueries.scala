@@ -31,6 +31,21 @@ object KgQueries {
       }.toDF("doc_id", "term")
   }
 
+  /** Per-doc DISTINCT loc-term and ent-term sets from ONE combined
+    * Aho-Corasick scan, docs having both kinds only — the shared scaffold
+    * of the co-occurrence gate queries (kg_triples, kg_graph_by_page),
+    * whose former two-scan + join form paid the corpus text pass twice.
+    * Sorted sets make downstream pair expansion deterministic. */
+  private def cooccurrenceSets(s: SparkSession, dir: String): DataFrame =
+    mentionsDf(s, dir, LocTerms ++ EntTerms)
+      .groupBy("doc_id")
+      .agg(
+        sort_array(collect_set(
+          when(col("term").isin(LocTerms: _*), col("term")))).as("subjs"),
+        sort_array(collect_set(
+          when(col("term").isin(EntTerms: _*), col("term")))).as("objs"))
+      .filter(size(col("subjs")) > 0 && size(col("objs")) > 0)
+
   private def sqlList(terms: Seq[String]): String =
     terms.map(t => s"('$t')").mkString(", ")
 
@@ -164,12 +179,16 @@ object KgQueries {
 
     // B3-lite + P4/P5 shape: deterministic co-occurrence triple rule —
     // (location term, 'co_occurs_with', entity term) per doc where both
-    // occur whole-word.
+    // occur whole-word. ONE combined mention scan (the former per-side
+    // mentionsDf ran the Aho-Corasick pass over the full corpus twice and
+    // joined the sides): each doc's distinct loc and ent term sets come
+    // from a single aggregation and the per-doc cross product is two
+    // explodes — the same (subj, obj) row set the distinct+join produced.
     "kg_triples" -> { (s, dir) =>
-      val locs = mentionsDf(s, dir, LocTerms).select(col("doc_id"), col("term").as("subj")).distinct()
-      val ents = mentionsDf(s, dir, EntTerms).select(col("doc_id"), col("term").as("obj")).distinct()
-      locs.join(ents, "doc_id")
-        .select(col("doc_id"), col("subj"), lit("co_occurs_with").as("predicate"), col("obj"))
+      cooccurrenceSets(s, dir)
+        .select(col("doc_id"), explode(col("subjs")).as("subj"), col("objs"))
+        .select(col("doc_id"), col("subj"),
+          lit("co_occurs_with").as("predicate"), explode(col("objs")).as("obj"))
     },
 
     // J2: normalized-alias alignment join (broadcast).
@@ -625,15 +644,7 @@ object KgQueries {
     // dot_product expression as the similarity stack.
     "kg_retrieval_semantic" -> { (s, dir) =>
       val docs = Tables.documents(s, dir)
-      val tok = docs.select(col("doc_id"),
-          explode(filter(split(col("text"), " "), t => t =!= "")).as("tok"))
-        .withColumn("b", substring(md5(col("tok")), 1, 1))
-      val sums = (0 until 16).map(i =>
-        sum(when(col("b") === HexDigits(i).toString, 1).otherwise(0))
-          .cast("double").as(s"c$i"))
-      val emb = tok.groupBy("doc_id").agg(sums.head, sums.tail: _*)
-        .select(col("doc_id"),
-          array((0 until 16).map(i => col(s"c$i")): _*).as("embedding"))
+      val emb = hashedBowEmb(docs)
       val qv = semanticQueryVector(SemanticQuery)
       val qNorm = math.sqrt(qv.map(x => x * x).sum)
       val qCol = array(qv.map(lit): _*)
@@ -800,15 +811,19 @@ object KgQueries {
     // graph (schema.py:432-447 GraphOutput = text hash + triplet list); this
     // regroups the exploded triples back to one row per page with a sorted,
     // deterministic triplet-key digest.
+    // ONE combined mention scan + a narrow per-doc pair expansion (the
+    // former per-side mentionsDf scans, join and second groupBy are gone):
+    // the triplet keys of a doc are the cross product of its two sorted
+    // term sets, so the count is size(subjs) x size(objs) and the sorted
+    // key list is computed per row — identical values.
     "kg_graph_by_page" -> { (s, dir) =>
-      val locs = mentionsDf(s, dir, LocTerms).select(col("doc_id"), col("term").as("subj")).distinct()
-      val ents = mentionsDf(s, dir, EntTerms).select(col("doc_id"), col("term").as("obj")).distinct()
-      locs.join(ents, "doc_id")
+      val tkeys = flatten(transform(col("subjs"), sj =>
+        transform(col("objs"), ob =>
+          concat_ws("|", sj, lit("co_occurs_with"), ob))))
+      cooccurrenceSets(s, dir)
         .select(col("doc_id"),
-          concat_ws("|", col("subj"), lit("co_occurs_with"), col("obj")).as("tkey"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_triplets"),
-          concat_ws(";", array_sort(collect_list(col("tkey")))).as("graph_key"))
+          (size(col("subjs")).cast("long") * size(col("objs"))).as("n_triplets"),
+          concat_ws(";", array_sort(tkeys)).as("graph_key"))
     },
 
     // G1-G11: full RDF materialization over the reference fixture pages,
@@ -853,6 +868,26 @@ object KgQueries {
   )
 
   private val HexDigits = "0123456789abcdef"
+
+  /** Hashed bag-of-words embedding per doc: dim i = count of token
+    * OCCURRENCES whose md5 begins with hex digit i. Occurrences are
+    * pre-counted per (doc_id, tok) — a map-side partial aggregation that
+    * collapses the occurrence stream before any exchange — so the md5 runs
+    * once per distinct (doc, token) pair (~150k at sf0.1) instead of once
+    * per occurrence (~18M); the tf-weighted sums are definitionally the
+    * former per-occurrence conditional sums. */
+  private def hashedBowEmb(docs: DataFrame): DataFrame = {
+    val tf = docs.select(col("doc_id"),
+        explode(filter(split(col("text"), " "), t => t =!= "")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      .withColumn("b", substring(md5(col("tok")), 1, 1))
+    val sums = (0 until 16).map(i =>
+      sum(when(col("b") === HexDigits(i).toString, col("tf")).otherwise(lit(0L)))
+        .cast("double").as(s"c$i"))
+    tf.groupBy("doc_id").agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"),
+        array((0 until 16).map(i => col(s"c$i")): _*).as("embedding"))
+  }
 
   /** The retrieval question for the semantic gate query. */
   val SemanticQuery = "spark join table window stream"
@@ -950,15 +985,7 @@ object KgQueries {
     val docs = Tables.documents(s, dir).filter(col("source").isin(HybridTopics: _*))
     val lex = mentionsDf(s, dir, Seq("spark", "join"))
       .groupBy("doc_id").agg(count(lit(1)).as("lex_score"))
-    val tok = docs.select(col("doc_id"),
-        explode(filter(split(col("text"), " "), t => t =!= "")).as("tok"))
-      .withColumn("b", substring(md5(col("tok")), 1, 1))
-    val sums = (0 until 16).map(i =>
-      sum(when(col("b") === HexDigits(i).toString, 1).otherwise(0))
-        .cast("double").as(s"c$i"))
-    val emb = tok.groupBy("doc_id").agg(sums.head, sums.tail: _*)
-      .select(col("doc_id"),
-        array((0 until 16).map(i => col(s"c$i")): _*).as("embedding"))
+    val emb = hashedBowEmb(docs)
     val qv = semanticQueryVector(SemanticQuery)
     val qNorm = math.sqrt(qv.map(x => x * x).sum)
     val qCol = array(qv.map(lit): _*)

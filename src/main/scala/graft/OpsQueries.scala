@@ -88,15 +88,21 @@ object OpsQueries {
     "text_fingerprint" -> { (s, dir) => TextOps.fingerprint(docs(s, dir)) },
 
     // Corpus vocabulary heavy hitters: document frequency + total count per
-    // token, top-k. The shuffle key is the token (map-side combined); the
-    // per-token doc set never materializes (count_distinct aggregates it).
+    // token, top-k. Two-level aggregation: the (tok, doc_id) pre-count
+    // collapses the token stream map-side BEFORE any exchange (the corpus
+    // is occurrence-heavy: ~18M occurrences over a few distinct
+    // (tok, doc) pairs at sf0.1), then the per-token rollup counts docs
+    // and sums frequencies — replacing count_distinct's Expand (which
+    // doubled the exploded rows) with a second cheap agg. doc_freq =
+    // count of pre-grouped (tok, doc) rows and term_freq = sum of their
+    // counts are definitionally the old count_distinct/count values.
     "text_vocab_topk" -> { (s, dir) =>
       docs(s, dir)
         .select(col("doc_id"),
           explode(filter(split(col("text"), " "), t => t =!= "")).as("tok"))
+        .groupBy("tok", "doc_id").agg(count(lit(1)).as("tf"))
         .groupBy("tok")
-        .agg(count_distinct(col("doc_id")).as("doc_freq"),
-          count(lit(1)).as("term_freq"))
+        .agg(count(lit(1)).as("doc_freq"), sum("tf").as("term_freq"))
         .orderBy(desc("doc_freq"), desc("term_freq"), col("tok"))
         .limit(20)
     },
@@ -164,10 +170,13 @@ object OpsQueries {
 
     // Corpus filter composition: the standard training-data gate — keep
     // docs that pass quality + language thresholds, report survivor stats.
-    // One pass over the scan; every predicate is a pushable column expr.
+    // ONE pass over the scan (TextOps.qualityLang): the former
+    // quality ⋈ langId form scanned the corpus twice — each side re-ran
+    // the stopword/token regexes — and joined 1:1 on doc_id; both scores
+    // derive from the same per-row counts, exactly as the oracle's single
+    // CTE computes them. Identical rows.
     "text_quality_filter" -> { (s, dir) =>
-      TextOps.quality(docs(s, dir))
-        .join(TextOps.langId(docs(s, dir)).select("doc_id", "predicted_lang"), "doc_id")
+      TextOps.qualityLang(docs(s, dir))
         .filter(col("quality_score") >= 0.5 && col("predicted_lang") === "en")
         .agg(count(lit(1)).as("n_kept"),
           round(avg("quality_score"), 4).as("avg_quality"),

@@ -27,13 +27,30 @@ object Queries {
           count(lit(1)).as("count_order"))
     },
 
-    // Multi-way shuffle join + top-k; small side broadcast by Catalyst/AQE.
+    // Multi-way join + top-k. Join strategy picked deliberately (guide
+    // §3.1): the fact table (lineitem) is the PROBE side of every join —
+    // customer (a true dimension) broadcasts into orders, and the
+    // orders-side output is projected to the single join column BEFORE
+    // meeting lineitem, so whichever strategy AQE picks for that join
+    // (broadcast locally, shuffled at fleet scale) moves keys, not
+    // payloads. The former plan had the build side backwards: the planner
+    // broadcast the 600k-row lineitem projection and streamed the
+    // dimension chain. Same joins, same multiplicities, same aggregate —
+    // identical rows.
     "q3_join_topk" -> { (s, dir) =>
       val c = Tables.customer(s, dir)
       val o = Tables.orders(s, dir)
       val l = Tables.lineitem(s, dir)
-      c.join(o, c("c_custkey") === o("o_custkey"))
-        .join(l, o("o_orderkey") === l("l_orderkey"))
+      // The stage boundary (repartition on the join key) gives AQE the
+      // TRUE size of co at runtime: locally it then broadcasts the ~1 MB
+      // orderkey set (static estimates had inflated it past the lineitem
+      // projection and broadcast the fact table instead); at fleet scale
+      // the same shuffle is the orderkey-side half of the sort-merge join,
+      // so no work is wasted either way.
+      val co = o.join(broadcast(c), c("c_custkey") === o("o_custkey"))
+        .select(o("o_orderkey"))
+        .repartition(col("o_orderkey"))
+      l.join(co, co("o_orderkey") === l("l_orderkey"))
         .groupBy(l("l_orderkey"))
         .agg(round(sum(l("l_extendedprice") * (lit(1) - l("l_discount"))), 2).as("revenue"))
         .orderBy(desc("revenue"), col("l_orderkey"))
@@ -72,23 +89,29 @@ object Queries {
 
     // row_number window — SURVEY J3/J5 first-hit dedup primitive.
     "q_window_firsthit" -> { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
       // ordering must be TOTAL within the partition — the synthetic corpus
       // has duplicate (orderkey, shipdate, linenumber) keys at sf0.1, and a
       // non-total order makes "first hit" engine-dependent (caught by the
       // round-3 cross-scale verify)
       // appending the OUTPUT columns (quantity, returnflag) makes first-hit
-      // provably deterministic even if all join-side keys ever tie
-      val w = Window.partitionBy(col("l_orderkey"))
-        .orderBy(col("l_shipdate"), col("l_linenumber"),
-          col("l_partkey"), col("l_suppkey"), col("l_extendedprice"),
-          col("l_quantity"), col("l_returnflag"))
+      // provably deterministic even if all join-side keys ever tie.
+      // "first row per key under a total order" is min(struct(order cols))
+      // — the row_number window needed a full per-partition SORT of every
+      // lineitem row (plan: Sort + WindowGroupLimit on both exchange
+      // sides); the min-struct aggregate is a hash agg with map-side
+      // partial combine, shuffling one row per (partition, orderkey)
+      // instead of sorting the table twice. The struct's field order IS
+      // the window's total order, so the selected row — and therefore
+      // (l_quantity, l_returnflag) — is identical (columns are null-free,
+      // where both forms agree anyway: ASC NULLS FIRST = struct ordering).
+      val first = min(struct(col("l_shipdate"), col("l_linenumber"),
+        col("l_partkey"), col("l_suppkey"), col("l_extendedprice"),
+        col("l_quantity"), col("l_returnflag"))).as("m")
       Tables.lineitem(s, dir)
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .groupBy(col("l_returnflag"))
+        .groupBy(col("l_orderkey")).agg(first)
+        .groupBy(col("m.l_returnflag").as("l_returnflag"))
         .agg(count(lit(1)).as("n_first"),
-             round(sum(col("l_quantity")), 2).as("qty_first"))
+             round(sum(col("m.l_quantity")), 2).as("qty_first"))
     },
 
     // groupBy().count() — SURVEY A7.

@@ -44,25 +44,32 @@ object Canonicalizer {
   def connectedComponents(edges0: DataFrame, maxIter: Int = 20,
                           localProbe: Boolean = true): DataFrame = {
     val spark = edges0.sparkSession
-    val sym = {
-      val e = edges0.select(col("src").cast("long"), col("dst").cast("long"))
-        .filter(col("src") =!= col("dst"))
-      e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
-        .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    }
+    // RAW directed edges, persisted once: the probe reads them directly —
+    // union-find is orientation- and duplicate-insensitive, so the
+    // symmetrize + distinct exchange the old probe paid is needed only by
+    // the DISTRIBUTED rounds and is built lazily below, from this cache,
+    // only when the probe overflows. (The size threshold now bounds raw
+    // edges rather than the deduped symmetric set — either side of the
+    // boundary produces identical output, just via a different path.)
+    val e0 = edges0.select(col("src").cast("long"), col("dst").cast("long"))
+      .filter(col("src") =!= col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    lazy val sym = e0
+      .unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     // Single-job small-graph probe: limit(threshold+1).collect() — if the
     // result fits, we already hold the whole edge set and skip both the
     // count job and the distributed rounds entirely.
     val probe =
-      if (localProbe) sym.select("src", "dst").limit(SmallGraphEdges.toInt + 1).collect()
+      if (localProbe) e0.limit(SmallGraphEdges.toInt + 1).collect()
       else Array.empty[org.apache.spark.sql.Row]
     if (localProbe && probe.length <= SmallGraphEdges) {
       // Driver union-find fast path (deterministic min-root).
       import spark.implicits._
       val edges = probe.map(r => (r.getLong(0), r.getLong(1)))
-      sym.unpersist(false)
+      e0.unpersist(false)
       val parent = scala.collection.mutable.LongMap.empty[Long]
       def find(x: Long): Long = {
         var r = x
@@ -103,6 +110,7 @@ object Canonicalizer {
       iter += 1
     }
     sym.unpersist(false)
+    e0.unpersist(false)
     labels
   }
 

@@ -71,10 +71,20 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc_id"))
       .filter(col("n_docs") >= minDocs)
 
+  /** (doc_id, toks) with toks = the distinct-token array — the shared
+    * tokenized form the dedup stages consume. Split out so composed
+    * pipelines ([[dedupe]]) can tokenize the corpus text ONCE and feed
+    * every stage, instead of re-running the split per stage subtree. */
+  def docTokens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+
   /** Per-doc MinHash signature columns h0..h{k-1} over the token set. */
-  def minhashSignatures(docs: DataFrame): DataFrame = {
-    val tok = docs
-      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+  def minhashSignatures(docs: DataFrame): DataFrame =
+    minhashSignaturesToks(docTokens(docs))
+
+  /** [[minhashSignatures]] over a pre-tokenized (doc_id, toks) frame. */
+  def minhashSignaturesToks(docsTok: DataFrame): DataFrame = {
+    val tok = docsTok.select(col("doc_id"), explode(col("toks")).as("tok"))
     val aggs = (0 until MinhashK).map(i =>
       min(md5(concat(lit(s"$i|"), col("tok")))).as(s"h$i"))
     tok.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
@@ -87,8 +97,12 @@ object Dedup {
     * join evaluated it 4x), docs grouped per (band, band_hash) bucket, and
     * pairs generated bucket-locally. Identical pair set; the bucket group
     * is the same equi-key the join used, never all-pairs. */
-  def minhashCandidates(docs: DataFrame): DataFrame = {
-    val sigs = minhashSignatures(docs)
+  def minhashCandidates(docs: DataFrame): DataFrame =
+    minhashCandidatesToks(docTokens(docs))
+
+  /** [[minhashCandidates]] over a pre-tokenized (doc_id, toks) frame. */
+  def minhashCandidatesToks(docsTok: DataFrame): DataFrame = {
+    val sigs = minhashSignaturesToks(docsTok)
     val rows = MinhashK / Bands
     val bandCols = (0 until Bands).map { b =>
       val cols = (b * rows until (b + 1) * rows).map(i => col(s"h$i"))
@@ -232,8 +246,11 @@ object Dedup {
     * joins instead of three plus a groupBy. Pairs with an empty
     * intersection are dropped exactly as the former inner token join
     * dropped them. */
-  def jaccard(docs: DataFrame, candidates: DataFrame, minJaccard: Double): DataFrame = {
-    val docsTok = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+  def jaccard(docs: DataFrame, candidates: DataFrame, minJaccard: Double): DataFrame =
+    jaccardToks(docTokens(docs), candidates, minJaccard)
+
+  /** [[jaccard]] over a pre-tokenized (doc_id, toks) frame. */
+  def jaccardToks(docsTok: DataFrame, candidates: DataFrame, minJaccard: Double): DataFrame = {
     candidates.select("doc_a", "doc_b")
       .join(docsTok.select(col("doc_id").as("doc_a"), col("toks").as("toks_a")), "doc_a")
       .join(docsTok.select(col("doc_id").as("doc_b"), col("toks").as("toks_b")), "doc_b")
@@ -268,7 +285,17 @@ object Dedup {
     * distributed (identical output, no up-to-2M-edge driver collect). */
   def dedupe(docs: DataFrame, minJaccard: Double,
              localProbe: Boolean = true): DataFrame = {
-    val cands = minhashCandidates(docs)
-    resolve(jaccard(docs, cands, minJaccard), localProbe)
+    // Tokenize the corpus text ONCE for the whole composition: the
+    // signature stage and both verification sides consume the same
+    // (doc_id, toks) frame — un-persisted it would be recomputed three
+    // times (three full text scans at corpus scale). resolve() fully
+    // materializes its result inside the call (the driver probe collects,
+    // and the distributed rounds localCheckpoint), so releasing the cache
+    // on return is safe.
+    val docsTok = docTokens(docs).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val cands = minhashCandidatesToks(docsTok)
+      resolve(jaccardToks(docsTok, cands, minJaccard), localProbe)
+    } finally docsTok.unpersist(false)
   }
 }

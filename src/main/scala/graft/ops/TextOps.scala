@@ -91,6 +91,16 @@ object TextOps {
       .select("doc_id", "n_chars", "n_tok", "mean_tok_len", "stop_ratio",
         "alpha_ratio", "quality_score")
 
+  /** One-pass composition of [[quality]] and [[langId]]'s prediction: both
+    * derive from the same per-row counts, so computing them in one select
+    * halves the regex scans a quality+language corpus gate pays (the
+    * composed driver-gate query formerly ran both operators and joined 1:1
+    * on doc_id). predicted_lang is langId's exact expression over the
+    * identical rounded stop_ratio — rows are unchanged. */
+  def qualityLang(docs: DataFrame): DataFrame =
+    quality(docs).withColumn("predicted_lang",
+      when(col("stop_ratio") >= 0.05, lit("en")).otherwise(lit("und")))
+
   /** Token counting: whitespace tokens, BPE-ish subword count (regex over
     * letter-runs/digit-runs/punct, run length ceil/4 as a subword proxy),
     * distinct tokens. */
