@@ -150,6 +150,32 @@ class DedupSpec extends SparkSpec {
     assert(open.collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet === probed)
   }
 
+  test("bucket-local pair generation equals a bucket self-join on a hot bucket") {
+    // round-7 internals change: candidate pairs come from groupBy(bucket) +
+    // ordered-pair expansion instead of a bucket self-join. Pin the pair
+    // arithmetic on a bucket of five identical docs (all bands collide):
+    // exactly C(5,2) ordered pairs, each with doc_a < doc_b, none dropped,
+    // none duplicated across the two bands.
+    import spark.implicits._
+    val five = (0L until 5L).map(i => (i, "same text in every doc")).toDF("doc_id", "text")
+    val pairs = Dedup.minhashCandidates(five).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    val expected = (for (a <- 0L until 5L; b <- (a + 1) until 5L) yield (a, b)).toSet
+    assert(pairs.length === expected.size) // distinct across bands
+    assert(pairs.toSet === expected)
+    assert(pairs.forall { case (a, b) => a < b })
+  }
+
+  test("candidate-restricted jaccard drops zero-intersection candidates like the token join did") {
+    // a candidate pair whose token sets are disjoint produced no row under
+    // the former inner token join; the array_intersect form must preserve
+    // that even at minJaccard = 0.0 (inter > 0 guard).
+    import spark.implicits._
+    val d = Seq((1L, "alpha beta"), (2L, "gamma delta")).toDF("doc_id", "text")
+    val cand = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+    assert(Dedup.jaccard(d, cand, 0.0).collect().isEmpty)
+  }
+
   test("simhash near-dup rejects block widths that would void the recall bound") {
     import spark.implicits._
     val d = Seq((1L, "a b")).toDF("doc_id", "text")
@@ -486,6 +512,19 @@ class TextOpsSpec extends SparkSpec {
     val d2 = Seq((0L, "The  Cat"), (1L, "the cat")).toDF("doc_id", "text")
     val fps = TextOps.fingerprint(d2).collect().map(_.getAs[String]("fingerprint"))
     assert(fps(0) === fps(1))
+  }
+
+  test("qualityLang one-pass equals quality joined with langId") {
+    // round-7 internals change: the composed quality+language gate runs in
+    // one select; pin row equality against the two-operator join form.
+    val joined = TextOps.quality(docs)
+      .join(TextOps.langId(docs).select("doc_id", "predicted_lang"), "doc_id")
+      .select("doc_id", "quality_score", "n_tok", "predicted_lang")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2), r.getString(3))).toSet
+    val onePass = TextOps.qualityLang(docs)
+      .select("doc_id", "quality_score", "n_tok", "predicted_lang")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2), r.getString(3))).toSet
+    assert(onePass === joined)
   }
 }
 
