@@ -29,6 +29,12 @@ object KgQueries {
   private def mentionsOf(s: SparkSession, docs: DataFrame, terms: Seq[String]): DataFrame = {
     val termsArr = terms.toArray
     import s.implicits._
+    // NOT spread: with the gate queries' 4-9-term dictionaries the
+    // Aho-Corasick pass over the local corpus is ~0.1 s serial, and a
+    // spread's exchange + 32-task stages measured strictly slower
+    // (kg_align 0.57 -> 0.92 in the round-7 job audit); callers that scan
+    // with heavier downstream aggregation (hybridScored) spread their doc
+    // slice themselves before passing it in
     docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { it =>
         val scanner = MentionScanner(termsArr, ignoreCase = false)
@@ -650,7 +656,9 @@ object KgQueries {
     // cosine → top-k) is the real thing and runs on the same codegen'd
     // dot_product expression as the similarity stack.
     "kg_retrieval_semantic" -> { (s, dir) =>
-      val docs = Tables.documents(s, dir)
+      // spread is value-safe here: the embedding dims are integer token
+      // counts (exact in doubles), the cosine is per-row
+      val docs = Tables.spread(s, Tables.documents(s, dir), "doc_id")
       val emb = hashedBowEmb(docs)
       val qv = semanticQueryVector(SemanticQuery)
       val qNorm = math.sqrt(qv.map(x => x * x).sum)
@@ -989,7 +997,12 @@ object KgQueries {
     * would run twice per execution. Token-less docs get sem_score −1
     * (a vector index never returns them). */
   private def hybridScored(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir).filter(col("source").isin(HybridTopics: _*))
+    // filter first (pushed to the scan), then spread the slice so the
+    // mention scan + embedding aggregation parallelize (integer counts —
+    // exact); the three consumers below share the one exchange via
+    // ReuseExchange
+    val docs = Tables.spread(s,
+      Tables.documents(s, dir).filter(col("source").isin(HybridTopics: _*)), "doc_id")
     // scan only the topic slice: non-topic docs' mentions were discarded
     // by the left join below anyway, so filtering first (pushed to the
     // parquet scan) drops 3/4 of the Aho-Corasick text pass — same rows
