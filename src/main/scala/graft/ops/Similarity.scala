@@ -145,7 +145,8 @@ object Similarity {
     * 10^12 rows the update is one posexplode shuffle keyed on
     * (cluster, pos), map-side combined, per round. */
   def kmeansCentroids(embeddings: DataFrame, k: Int, iters: Int,
-                      samplePermille: Int = 1000): DataFrame = {
+                      samplePermille: Int = 1000,
+                      checkpointEvery: Int = 4): DataFrame = {
     // Deterministic init: the k SMALLEST vec_ids (not `vec_id < k`, which
     // silently yields fewer/zero centroids when ids are sparse or hashed —
     // e.g. xxhash64-derived doc ids), cluster id = rank among those k.
@@ -172,8 +173,7 @@ object Similarity {
         .dropDuplicates("vec_id")
         .localCheckpoint(true)
     var cents = initRanked.select("cluster", "centroid")
-      .localCheckpoint(true)
-    for (_ <- 0 until iters) {
+    for (i <- 1 to iters) {
       // assignCarry keeps the embedding on the assigned row, so the
       // centroid update needs no join-back against the corpus
       val assigned = assignCarry(e, cents)
@@ -183,7 +183,17 @@ object Similarity {
       cents = dim.groupBy("cluster")
         .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
         .select(col("cluster"), transform(col("pc"), x => x.getField("c")).as("centroid"))
-        .localCheckpoint(true)
+      // Lineage truncation on an INTERVAL, not per round (the standard
+      // iterative-training checkpoint knob): each eager localCheckpoint is
+      // a driver action — a full scheduling round-trip per Lloyd round —
+      // while the per-round plan only grows by one assign+agg layer. Short
+      // trainings (the gates run iters = 2) now fuse into a single job;
+      // deep trainings still truncate every `checkpointEvery` rounds so
+      // Catalyst never re-analyzes an unbounded plan. Values are
+      // unchanged: the checkpoint sits AFTER the centroid aggregation, so
+      // the aggregation's plan (and its fp fold order) is identical with
+      // or without it.
+      if (i % checkpointEvery == 0 && i < iters) cents = cents.localCheckpoint(true)
     }
     cents
   }
@@ -200,7 +210,10 @@ object Similarity {
     * label column. */
   def ivfTopKKmeans(embeddings: DataFrame, queryId: Long, k: Int, nprobe: Int,
                     kClusters: Int, iters: Int): DataFrame = {
-    val cents = kmeansCentroids(embeddings, kClusters, iters)
+    // the trained codebook is consumed twice below (probe ranking + full
+    // assignment) — materialize the k-row table once so the Lloyd subtree
+    // is not replayed per consumer
+    val cents = kmeansCentroids(embeddings, kClusters, iters).localCheckpoint(true)
     val q = embeddings.filter(col("vec_id") === queryId)
       .select(col("embedding").as("q"))
     val probed = cents.crossJoin(broadcast(q))
