@@ -111,8 +111,23 @@ object KgQueries {
   private def cachedDims(s: SparkSession): (Dims.Snapshot, Hydrator.Prepared, DataFrame) = {
     evictStopped(dimCache)
     dimCache.computeIfAbsent(s, s => {
-      val dims = Dims.tiny(s).persisted()
-      (dims, Hydrator.prepare(dims).cached(), Linker.aliasDim(dims).cache())
+      // coalesce(1) before caching: the tiny gate dims otherwise cache at
+      // shuffle-partition granularity (the firstHit window exchanges), so
+      // every broadcast build in every chain query read ~32 near-empty
+      // cached blocks — task count, not data. One partition per dim reads
+      // one block per build. Values unchanged (coalesce sits after the
+      // window/dedup computation); gate-only — the pipeline's own
+      // bootstrap path is untouched.
+      def c1(df: DataFrame) = df.coalesce(1)
+      val t = Dims.tiny(s)
+      val dims = Dims.Snapshot(c1(t.stratDim), c1(t.mineralDim),
+        c1(t.intervalDim), c1(t.gazetteerDim), c1(t.stratGpsDim),
+        c1(t.lithDim)).persisted()
+      val p = Hydrator.prepare(dims)
+      val prepared = Hydrator.Prepared(c1(p.stratKeyed).cache(),
+        c1(p.mineralKeyed).cache(), c1(p.gaz).cache(),
+        c1(p.lithKeyed).cache())
+      (dims, prepared, Linker.aliasDim(dims).coalesce(1).cache())
     })
   }
 
