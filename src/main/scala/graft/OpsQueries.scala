@@ -33,9 +33,6 @@ object OpsQueries {
   private def embs(s: SparkSession, dir: String) =
     Tables.embeddings(s, dir)
       .withColumn("embedding", col("embedding").cast("array<double>"))
-  private def embsSpread(s: SparkSession, dir: String) =
-    Tables.spread(s, Tables.embeddings(s, dir), "vec_id")
-      .withColumn("embedding", col("embedding").cast("array<double>"))
 
   val queries: Map[String, Q] = Map(
     // Calls the LIBRARY operator (minDocs = 1 so the oracle row set is
@@ -77,11 +74,11 @@ object OpsQueries {
     // crossJoin in the plan (the synthetic corpus has no 0.95-cosine pairs;
     // 0.35 keeps the verification stage non-vacuous).
     "dedup_embedding" -> { (s, dir) =>
-      Similarity.lshNearDup(embsSpread(s, dir), numHyperplanes = 8, bands = 2, minCos = 0.35)
+      Similarity.lshNearDup(embs(s, dir), numHyperplanes = 8, bands = 2, minCos = 0.35)
     },
 
     "sim_cosine_topk" -> { (s, dir) =>
-      Similarity.bruteTopK(embsSpread(s, dir), queryId = 0, k = 10)
+      Similarity.bruteTopK(embs(s, dir), queryId = 0, k = 10)
     },
 
     "sim_ivf_topk" -> { (s, dir) =>

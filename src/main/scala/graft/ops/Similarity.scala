@@ -49,7 +49,10 @@ object Similarity {
   def bruteTopK(embeddings: DataFrame, queryId: Long, k: Int): DataFrame = {
     val q = embeddings.filter(col("vec_id") === queryId)
       .select(col("embedding").as("q"))
-    embeddings.filter(col("vec_id") =!= queryId)
+    // spread ONLY the corpus side (the per-row cosine fan-out is the
+    // compute); the 1-row query subtree reads the raw scan
+    graft.Tables.spread(embeddings.sparkSession,
+        embeddings.filter(col("vec_id") =!= queryId), "vec_id")
       .crossJoin(broadcast(q))
       .select(col("vec_id"),
         round(cos(col("embedding"), col("q")), 4).as("cos_sim"))
@@ -250,6 +253,13 @@ object Similarity {
     val rows = numHyperplanes / bands
     val e = embeddings.select(col("vec_id"), col("embedding"),
       norm(col("embedding")).as("nrm"))
+    // spread ONLY the signature side — the numHyperplanes dot products per
+    // vector are the per-row compute worth parallelizing. The anchor
+    // subtree (numHyperplanes rows) and the two verification attachment
+    // sides become BROADCAST builds, where a pre-broadcast exchange is
+    // pure overhead (round-7 plan audit: 3 of 4 spread exchanges fed an
+    // 8-row aggregate or a broadcast build).
+    val eSig = graft.Tables.spread(e.sparkSession, e, "vec_id")
     // Anchor table folded into ONE sorted array (h_id order — the order the
     // former array_sort(collect_list) established per group), broadcast as
     // a 1-row frame. Signatures are then a NARROW map per vector: for each
@@ -269,7 +279,7 @@ object Similarity {
           filter(col("anch"), x => bandOf(x.getField("h_id")) === b),
           x => when(dot(col("embedding"), x.getField("hyper")) >= 0, lit("1"))
             .otherwise(lit("0"))), "").as("band_sig")))
-    val sigs = e.crossJoin(broadcast(anchorsArr))
+    val sigs = eSig.crossJoin(broadcast(anchorsArr))
       .select(col("vec_id"), explode(sigArr).as("bs"))
       .select(col("vec_id"), col("bs.band").as("band"),
         col("bs.band_sig").as("band_sig"))
