@@ -54,13 +54,13 @@ object OpsQueries {
       Dedup.simhashNearDup(docs(s, dir).filter(col("doc_id") < 500)) },
 
     "dedup_jaccard" -> { (s, dir) =>
-      Dedup.jaccardAllPairs(docs(s, dir).filter(col("doc_id") < 200), 0.8)
+      Dedup.jaccardAllPairs(docsRaw(s, dir).filter(col("doc_id") < 200), 0.8) // spread internal, heavy side only
     },
 
     // Word 3-gram shingle Jaccard — order-sensitive near-dup signal (token
     // Jaccard is bag-of-words; shingles catch reorderings as different).
     "dedup_jaccard_ngram" -> { (s, dir) =>
-      Dedup.jaccardNgram(docs(s, dir).filter(col("doc_id") < 200), n = 3, minJaccard = 0.6)
+      Dedup.jaccardNgram(docsRaw(s, dir).filter(col("doc_id") < 200), n = 3, minJaccard = 0.6) // spread internal
     },
 
     // End-to-end dedup resolution: LSH candidates → candidate-restricted

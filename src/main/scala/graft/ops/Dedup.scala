@@ -213,7 +213,13 @@ object Dedup {
     * tokenize subtree once per side (plus once more for sizes); this runs
     * it once and the sizes come closed-form from the scan. */
   private def allPairsJaccard(docs: DataFrame, elems: Column, minJaccard: Double): DataFrame = {
-    val tok = docs.select(col("doc_id"), explode(elems).as("tok"))
+    // spread ONLY the explode side — the per-row tokenize/shingle + the
+    // per-element fan-out is the compute worth parallelizing; the sizes
+    // side becomes a BROADCAST build in jaccardOf, where a pre-broadcast
+    // repartition is pure overhead (round-7 plan audit, same pattern as
+    // Similarity.lshNearDup)
+    val tok = graft.Tables.spread(docs.sparkSession, docs, "doc_id")
+      .select(col("doc_id"), explode(elems).as("tok"))
     val inter = tok.groupBy("tok")
       .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
