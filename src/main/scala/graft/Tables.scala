@@ -32,6 +32,7 @@ object Tables {
     * PushDownPredicates moves them through RepartitionByExpression
     * (plan-audited: PushedFilters unchanged). */
   def spread(spark: SparkSession, df: DataFrame, key: String): DataFrame = {
+    if (df.isStreaming) return df // .rdd is illegal on a streaming frame
     val p = spark.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < p) df.repartition(p, col(key)) else df
   }
